@@ -1,16 +1,10 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract (see module docstring history): ``entry`` runs the
+flagship pages pipeline at sf0.001-ish scale; ``queries`` /
+``oracle_sql`` expose every implemented operator (SURVEY.md §2 + the
+training-data ops) with DuckDB oracles where SQL-expressible.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE import — nothing here (or in
+the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +14,29 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthetic pages corpus (t1 ~ sf0.001 scale) ->
+    extract -> partition -> windowed features. Returns the feature
+    Dataset."""
+    import os
+
+    import ray.data as rd
+
+    from nuclei_feature_extraction_ray.corpus import corpus_dir
+    from nuclei_feature_extraction_ray.pipelines.pages_features import (
+        compute_features)
+
+    d = corpus_dir("t1")
+    pages = rd.read_parquet(os.path.join(d, "pages.parquet"),
+                            columns=["url", "warc_ts", "html", "lang"])
+    return compute_features(pages, num_partitions=8, concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from nuclei_feature_extraction_ray.pipelines.queries import all_queries
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nuclei_feature_extraction_ray.pipelines.queries import (
+        all_oracle_sql)
+    return all_oracle_sql()

@@ -1,0 +1,126 @@
+"""Deterministic vectorized hashing / sketching kernels.
+
+Used for: url-hash range partitioning (+salting), exact dedup keys,
+shingle hashing, MinHash signatures (LSH near-dup), SimHash, and
+winnowing fingerprints. All are seed-stable across processes (no
+``PYTHONHASHSEED`` dependence) so Ray task retries are idempotent —
+the determinism requirement the reference never had to meet
+(cf. nondeterministic output order, ``src/main.rs:146-158``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_MERSENNE = (1 << 61) - 1
+
+
+def hash64(values) -> np.ndarray:
+    """Stable 64-bit hash of a string/bytes array -> uint64.
+
+    pandas' hash_array uses a fixed internal SipHash key, so the result
+    is stable across processes, workers, and runs.
+    """
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+def partition_of(urls, num_partitions: int) -> np.ndarray:
+    """url -> partition id in [0, num_partitions). One key never spans
+    partitions — the invariant all window state relies on."""
+    return (hash64(urls) % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _hash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def word_shingles(tokens: list[str], n: int = 3) -> np.ndarray:
+    """Distinct hashed word n-grams of one document -> uint64 array."""
+    if len(tokens) < n:
+        grams = [" ".join(tokens)] if tokens else []
+    else:
+        grams = [" ".join(tokens[i:i + n])
+                 for i in range(len(tokens) - n + 1)]
+    if not grams:
+        return np.empty(0, np.uint64)
+    return np.unique(hash64(grams))
+
+
+def minhash_signatures(shingle_sets: list[np.ndarray], k: int = 64,
+                       seed: int = 7) -> np.ndarray:
+    """MinHash signatures, shape (n_docs, k) uint64.
+
+    Vectorized across the whole batch: all shingles are concatenated,
+    each of the k universal hashes ``(a*h + b) mod M61`` is applied to
+    the flat array, and per-doc minima come from ``minimum.reduceat``.
+    Empty docs get all-max signatures (match nothing).
+    """
+    a, b = _hash_params(k, seed)
+    sizes = np.asarray([len(s) for s in shingle_sets])
+    out = np.full((len(shingle_sets), k), np.iinfo(np.uint64).max,
+                  dtype=np.uint64)
+    if sizes.sum() == 0:
+        return out
+    flat = np.concatenate([s for s in shingle_sets if len(s)])
+    nonempty = sizes > 0
+    offsets = np.concatenate([[0], np.cumsum(sizes[nonempty])[:-1]])
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            hv = (a[j] * flat + b[j]) % np.uint64(_MERSENNE)
+            out[nonempty, j] = np.minimum.reduceat(hv, offsets)
+    return out
+
+
+def lsh_band_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, k) signatures -> (n_docs, bands) uint64 band-bucket keys;
+    docs sharing any (band_id, key) are LSH candidates."""
+    n, k = sigs.shape
+    r = k // bands
+    keys = np.empty((n, bands), np.uint64)
+    with np.errstate(over="ignore"):
+        for bnd in range(bands):
+            acc = np.full(n, np.uint64(1469598103934665603))  # FNV offset
+            for j in range(bnd * r, (bnd + 1) * r):
+                acc = (acc ^ sigs[:, j]) * np.uint64(1099511628211)
+            keys[:, bnd] = acc
+    return keys
+
+
+def simhash64(token_hashes: list[np.ndarray]) -> np.ndarray:
+    """64-bit SimHash per document from its (non-distinct) token hashes."""
+    out = np.zeros(len(token_hashes), np.uint64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, th in enumerate(token_hashes):
+        if len(th) == 0:
+            continue
+        bits = ((th[:, None] >> bit_idx) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        out[i] = np.bitwise_or.reduce(
+            (v > 0).astype(np.uint64) << bit_idx)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Popcount of XOR for uint64 arrays (vectorized via byte view)."""
+    x = (a ^ b).view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(x, axis=1).sum(axis=1)
+
+
+def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> np.ndarray:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
+    hash all char k-grams, keep the min of each sliding window,
+    deduplicate. Returns sorted uint64 fingerprint set."""
+    n = len(text)
+    if n < k:
+        return hash64([text]) if n else np.empty(0, np.uint64)
+    grams = [text[i:i + k] for i in range(n - k + 1)]
+    hv = hash64(grams)
+    if len(hv) <= window:
+        return np.unique(hv.min(keepdims=True))
+    sw = np.lib.stride_tricks.sliding_window_view(hv, window)
+    return np.unique(sw.min(axis=1))

@@ -1,0 +1,192 @@
+"""Flagship pipeline (north_star): Common-Crawl-style pages ->
+point-in-time windowed feature table, end-to-end on Ray Data.
+
+    read_parquet(url, warc_ts, html, lang)           [prune: no text col]
+    -> map_batches(ExtractText, actor pool)           html -> text (byte-
+       identical invariant; unparseable nulled + counted)
+    -> drop html (carry only an 8-byte html_hash for dedup tie-breaks —
+       the shuffle never moves raw HTML)
+    -> hash-partition by url (stages/partition.py)    [THE shuffle]
+    -> per-partition: sort (url, warc_ts) -> exact dedup (url, warc_ts)
+       keep deterministic winner -> per-row text-stat kernels ->
+       lag/lead -> rolling 30-day window (vectorized deque-equivalent)
+       -> gap sessionize -> language-stability  [all trailing-only:
+       zero temporal leakage by construction]
+    -> optional checkpointed sink: per-partition atomic Parquet commit
+       + lineage manifest; resume filters committed partitions BEFORE
+       the shuffle.
+
+As-of probe serving: ``probe_features`` joins a (url, query_ts) probe
+table against the feature table with the sort-merge as-of join
+(stages/asof.py), co-partitioned on the same url-hash so the join adds
+no extra shuffle.
+
+Graft lineage: per-record kernels mirror the reference's feature
+families (SURVEY.md §2.7); the dedup/window/as-of machinery is the
+north_rule extension the reference lacks (SURVEY.md §2.4, §2.8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash64
+from ..functions.text_extract import ExtractText
+from ..functions.text_stats import STAT_COLUMNS, text_stats_frame
+from ..stages.partition import PART_COL, with_partition
+from ..stages.asof import asof_join
+from ..stages.window import (add_rolling_time, add_session_ids,
+                             segment_codes)
+from ..state.manifest import commit_partition, committed_parts
+
+SESSION_GAP = pd.Timedelta(days=30)
+ROLLING_SPAN = pd.Timedelta(days=30)
+LANG_STAB_K = 5
+
+#: Deterministic output schema (config-derived, like the reference's
+#: constant feature grids, src/features/texture.rs:82-157).
+FEATURE_COLUMNS = (
+    ["url", "warc_ts", "lang"] + STAT_COLUMNS +
+    ["snap_idx", "gap_sec", "delta_n_chars", "days_since_first",
+     "r30_min", "r30_max", "r30_mean", "r30_count",
+     "session_id", "lang_changed", "lang_stab_5"]
+)
+
+
+def extract_stage(pages_ds, concurrency: int = 8, batch_size: int = 256):
+    """html -> extracted_text (+ok flag, +html_hash); html dropped."""
+    ds = pages_ds.map_batches(
+        ExtractText, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        hh = hash64(batch["html"].to_numpy(zero_copy_only=False))
+        batch = batch.append_column(
+            "html_hash", pa.array(hh.astype(np.int64)))
+        return batch.drop_columns(["html"])
+
+    return ds.map_batches(slim, batch_format="pyarrow")
+
+
+def partition_features(g: pd.DataFrame) -> pd.DataFrame:
+    """One hash partition (many urls) -> feature rows. ``g`` carries
+    (url, warc_ts, lang, extracted_text, extract_ok, html_hash)."""
+    g = g.sort_values(["url", "warc_ts", "html_hash"], kind="mergesort")
+    # Exact dedup on (url, warc_ts): deterministic winner = min html_hash.
+    g = g.drop_duplicates(["url", "warc_ts"], keep="first")
+    dropped = int((~g["extract_ok"]).sum())
+    g = g[g["extract_ok"]].reset_index(drop=True)
+    if len(g) == 0:
+        out = pd.DataFrame({c: [] for c in FEATURE_COLUMNS})
+        out.attrs["dropped"] = dropped
+        return out
+
+    feats = text_stats_frame(g["extracted_text"])
+    out = pd.concat(
+        [g[["url", "warc_ts", "lang"]], feats], axis=1)
+
+    codes = segment_codes(out["url"].to_numpy())
+    gb = out.groupby("url", sort=False)
+    out["snap_idx"] = gb.cumcount().astype(np.int64)
+    prev_ts = gb["warc_ts"].shift(1)
+    out["gap_sec"] = (out["warc_ts"] - prev_ts).dt.total_seconds()
+    out["delta_n_chars"] = (out["n_chars"] -
+                            gb["n_chars"].shift(1)).astype(np.float64)
+    first_ts = gb["warc_ts"].transform("min")
+    out["days_since_first"] = (
+        (out["warc_ts"] - first_ts).dt.total_seconds() / 86400.0)
+
+    out = add_rolling_time(out, "url", "warc_ts", "n_chars",
+                           ROLLING_SPAN, "r30_")
+    out = add_session_ids(out, "url", "warc_ts",
+                          SESSION_GAP.total_seconds())
+
+    prev_lang = gb["lang"].shift(1)
+    out["lang_changed"] = (
+        prev_lang.notna() & (out["lang"] != prev_lang)).astype(np.int64)
+    # Fraction of the trailing K snapshots (incl. current) in the
+    # CURRENT row's language — "language stability" (north_star).
+    same = np.zeros(len(out), np.float64)
+    avail = np.zeros(len(out), np.float64)
+    lang_arr = out["lang"].to_numpy()
+    idx = np.arange(len(out))
+    from ..stages.window import segment_starts
+    seg_start = segment_starts(codes)
+    for j in range(LANG_STAB_K):
+        back = idx - j
+        ok = back >= seg_start
+        same += ok & (lang_arr[np.maximum(back, 0)] == lang_arr)
+        avail += ok
+    out["lang_stab_5"] = same / avail
+
+    out = out[FEATURE_COLUMNS]
+    out.attrs["dropped"] = dropped
+    return out
+
+
+def compute_features(pages_ds, num_partitions: int = 32,
+                     concurrency: int = 8):
+    """Feature Dataset (no sink) — the flagship transform."""
+    ds = extract_stage(pages_ds, concurrency=concurrency)
+    ds = with_partition(ds, "url", num_partitions)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = partition_features(g.drop(columns=[PART_COL]))
+        return out
+
+    return ds.groupby(PART_COL).map_groups(fn, batch_format="pandas")
+
+
+def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
+                     resume: bool = True, concurrency: int = 8):
+    """Flagship with the checkpointed sink: each partition commits its
+    Parquet + lineage manifest atomically inside the partition task;
+    the job's output Dataset is the (tiny) manifest table. On resume,
+    committed partitions are filtered out right after partitioning —
+    before the shuffle moves their rows."""
+    done = committed_parts(out_dir) if resume else set()
+
+    ds = extract_stage(pages_ds, concurrency=concurrency)
+    ds = with_partition(ds, "url", num_partitions)
+    if done:
+        import ray
+        done_ref = ray.put(frozenset(done))
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            import ray as _r
+            d = _r.get(done_ref)
+            mask = pa.array([p not in d for p in
+                             batch[PART_COL].to_numpy()])
+            return batch.filter(mask)
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    def sink(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g[PART_COL].iloc[0])
+        out = partition_features(g.drop(columns=[PART_COL]))
+        dropped = out.attrs.get("dropped", 0)
+        watermark = (str(out["warc_ts"].max()) if len(out) else None)
+        man = commit_partition(
+            out_dir, part, pa.Table.from_pandas(out, preserve_index=False),
+            key_cols=["url", "warc_ts"], dropped_rows=dropped,
+            extra={"watermark": watermark})
+        return pd.DataFrame([{"partition": np.int64(part),
+                              "rows": np.int64(man["rows"]),
+                              "dropped_rows": np.int64(man["dropped_rows"]),
+                              "key_checksum": man["key_checksum"]}])
+
+    return ds.groupby(PART_COL).map_groups(sink, batch_format="pandas")
+
+
+def probe_features(features_ds, probes_ds, num_partitions: int = 32,
+                   value_cols: list[str] | None = None):
+    """Point-in-time serve: for each (url, query_ts) probe, the feature
+    vector of the latest snapshot with ``warc_ts <= query_ts`` (nulls
+    when none) — the J3 sort-merge as-of join."""
+    vals = value_cols or [c for c in FEATURE_COLUMNS
+                          if c not in ("url", "warc_ts")]
+    return asof_join(probes_ds, features_ds, key="url",
+                     probe_ts="query_ts", snap_ts="warc_ts",
+                     value_cols=vals, num_partitions=num_partitions)

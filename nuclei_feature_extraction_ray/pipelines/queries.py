@@ -1,0 +1,739 @@
+"""Query registry: every operator/pipeline from SURVEY.md §2 (plus the
+training-data ops) as a ``(sf_dir) -> Dataset|DataFrame`` callable, with
+a DuckDB oracle SQL string wherever the semantics are SQL-expressible.
+
+Float policy for oracle comparison: sums that must match the oracle
+exactly are computed on integer cents (exact in both engines); derived
+float columns are ``round(x, 6)`` on BOTH sides, which is safe because
+the underlying rationals have small denominators (see stages/window.py
+rolling notes) or the engines agree to <1e-10 while boundaries are
+>=5e-7 away.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Sum
+
+from ..functions.hashing import hash64, winnow_fingerprint
+from ..functions.langid import langid_frame
+from ..functions.quality import quality_frame, quality_sql
+from ..functions.text_stats import text_stats_frame, text_stats_sql
+from ..stages import ann as ann_mod
+from ..stages import dedup as dedup_mod
+from ..stages.asof import asof_join
+from ..stages.multimodal import HEADER_BYTES, DecodeMedia, make_payload
+from ..stages.partition import partitioned_apply
+from ..stages.window import (add_backfill, add_lag_lead, add_rolling_rows,
+                             add_session_ids, session_aggregate)
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+SESSION_GAP_SEC = 8 * 3600          # events sessionize threshold
+JACCARD_NGRAM = 2
+JACCARD_TAU = 0.08
+COSINE_TAU = 0.35
+ANN_K = 5
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+EVENTS_P = 16                        # hash partitions for events ops
+
+_EVW = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def _path(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, table + ".parquet")
+
+
+def _events(sf_dir: str, columns=None):
+    return rd.read_parquet(_path(sf_dir, "events"), columns=columns)
+
+
+def _r6(df: pd.DataFrame, cols) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].round(6)
+    return df
+
+
+# ===========================================================================
+# documents: per-row kernels (reference §2.7 analog) + training-data ops
+# ===========================================================================
+
+@register("doc_stats", sql=(
+    "SELECT doc_id, " + ", ".join(
+        "%s AS %s" % (expr, name)
+        for name, expr in text_stats_sql("text").items())
+    + " FROM documents"))
+def doc_stats(sf_dir: str):
+    """Per-document structural descriptors — the page-'shape' feature
+    family (cf. src/features/shape.rs:15-135)."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = text_stats_frame(batch["text"])
+        out.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+@register("doc_quality", sql=(
+    "SELECT doc_id, " + ", ".join(
+        "round(%s, 6) AS %s" % (expr, name) if name != "n_tokens"
+        else "%s AS %s" % (expr, name)
+        for name, expr in quality_sql("text").items())
+    + " FROM documents"))
+def doc_quality(sf_dir: str):
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = quality_frame(batch["text"])
+        out = _r6(out, ["stop_ratio", "quality"])
+        out.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+@register("lang_profile", sql="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(sum(n_chars) * 1.0 / count(*), 6) AS avg_chars
+    FROM documents GROUP BY lang""")
+def lang_profile(sf_dir: str):
+    """Grouped aggregate with the partial-combine pattern: per-batch
+    pre-aggregation shrinks the shuffle to (distinct langs x blocks)."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["lang", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("lang", as_index=False).agg(
+            n=("n_chars", "size"), s=("n_chars", "sum"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+            .groupby("lang").aggregate(Sum("n", alias_name="n_docs"),
+                                       Sum("s", alias_name="total_chars"))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_docs"] = batch["n_docs"].astype(np.int64)
+        batch["total_chars"] = batch["total_chars"].astype(np.int64)
+        batch["avg_chars"] = (batch["total_chars"]
+                              / batch["n_docs"]).round(6)
+        return batch
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+@register("token_totals", sql="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({tok}) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY source""".format(
+        tok=text_stats_sql("text")["n_tokens"]))
+def token_totals(sf_dir: str):
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        nt = text_stats_frame(batch["text"])["n_tokens"]
+        g = pd.DataFrame({"source": batch["source"], "t": nt}) \
+            .groupby("source", as_index=False).agg(
+                n=("t", "size"), t=("t", "sum"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+            .groupby("source").aggregate(
+                Sum("n", alias_name="n_docs"),
+                Sum("t", alias_name="total_tokens"))
+    return agg.map_batches(
+        lambda b: b.astype({"n_docs": np.int64, "total_tokens": np.int64}),
+        batch_format="pandas")
+
+
+@register("dedup_exact", sql="""
+    SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text""")
+def dedup_exact(sf_dir: str):
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    return dedup_mod.exact_dedup(ds, "text", "doc_id")
+
+
+@register("jaccard_pairs", sql="""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split_regex(trim(text, E' \\t\\n\\r\\f'),
+                                '[ \\t\\n\\r\\f]+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(w) < 2
+               THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i+1]) END) AS s
+      FROM docs
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT a, b, round(inter * 1.0 / uni, 6) AS jaccard
+    FROM pairs WHERE uni > 0 AND inter * 1.0 / uni >= 0.08""")
+def jaccard_pairs(sf_dir: str):
+    """Exact n-gram-Jaccard near-dup pairs via the inverted-index plan
+    (posting lists -> pair counts); the SQL oracle brute-forces all
+    pairs — same result, quadratic plan."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    out = dedup_mod.jaccard_pairs(ds, "text", "doc_id",
+                                  ngram=JACCARD_NGRAM,
+                                  threshold=JACCARD_TAU)
+    return out.map_batches(lambda b: _r6(b, ["jaccard"]),
+                           batch_format="pandas")
+
+
+@register("minhash_pairs")  # probabilistic recall -> rows-only check
+def minhash_pairs(sf_dir: str):
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    out = dedup_mod.minhash_lsh_pairs(ds, "text", "doc_id",
+                                      ngram=JACCARD_NGRAM,
+                                      threshold=0.2)
+    return out.map_batches(lambda b: _r6(b, ["jaccard"]),
+                           batch_format="pandas")
+
+
+@register("simhash_pairs")  # not SQL-expressible -> rows-only check
+def simhash_pairs(sf_dir: str):
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    return dedup_mod.simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+
+
+@register("doc_langid")  # heuristic model -> rows-only check
+def doc_langid(sf_dir: str):
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = langid_frame(batch["text"])
+        out["lang_confidence"] = out["lang_confidence"].round(6)
+        out.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+@register("doc_fingerprint")  # rolling-hash winnowing -> rows-only
+def doc_fingerprint(sf_dir: str):
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        fps = [winnow_fingerprint(t) for t in batch["text"]]
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "n_fingerprints": np.asarray([len(f) for f in fps], np.int64),
+            "fp_xor": np.asarray(
+                [int(np.bitwise_xor.reduce(f)) - (1 << 63) if len(f)
+                 else 0 for f in fps], np.int64),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# ===========================================================================
+# events: windowed temporal operators (north_rule core)
+# ===========================================================================
+
+@register("lag_lead", sql="""
+    SELECT event_id, user_id, ts, value,
+           lag(value)  OVER ({w}) AS prev_value,
+           lead(value) OVER ({w}) AS next_value,
+           value - lag(value) OVER ({w}) AS delta_value,
+           epoch(ts - lag(ts) OVER ({w})) AS gap_sec
+    FROM events""".format(w=_EVW))
+def lag_lead(sf_dir: str):
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = add_lag_lead(g, "user_id", ["value"], ts_col="ts")
+        return g[["event_id", "user_id", "ts", "value", "prev_value",
+                  "next_value", "delta_value", "gap_sec"]]
+
+    return partitioned_apply(ds, "user_id", fn, EVENTS_P,
+                             sort_cols=["user_id", "ts", "event_id"])
+
+
+@register("rolling_stats", sql="""
+    SELECT event_id, user_id, ts,
+           min(value) OVER w5 AS roll5_min,
+           max(value) OVER w5 AS roll5_max,
+           round(avg(value) OVER w5, 6) AS roll5_mean,
+           CAST(count(value) OVER w5 AS BIGINT) AS roll5_count
+    FROM events
+    WINDOW w5 AS ({w} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """.format(w=_EVW))
+def rolling_stats(sf_dir: str):
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = add_rolling_rows(g, "user_id", "value", 5, prefix="roll5_")
+        g["roll5_mean"] = g["roll5_mean"].round(6)
+        return g[["event_id", "user_id", "ts", "roll5_min", "roll5_max",
+                  "roll5_mean", "roll5_count"]]
+
+    return partitioned_apply(ds, "user_id", fn, EVENTS_P,
+                             sort_cols=["user_id", "ts", "event_id"])
+
+
+@register("sessionize", sql="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CASE WHEN gap_sec IS NULL OR gap_sec > {gap}
+                    THEN 1 ELSE 0 END)
+                OVER ({w} ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+             AS session_id
+    FROM (SELECT *, epoch(ts - lag(ts) OVER ({w})) AS gap_sec
+          FROM events)""".format(gap=SESSION_GAP_SEC, w=_EVW))
+def sessionize(sf_dir: str):
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = add_session_ids(g, "user_id", "ts", SESSION_GAP_SEC)
+        return g[["event_id", "user_id", "ts", "session_id"]]
+
+    return partitioned_apply(ds, "user_id", fn, EVENTS_P,
+                             sort_cols=["user_id", "ts", "event_id"])
+
+
+@register("session_stats", sql="""
+    WITH s AS (
+      SELECT user_id, ts, value,
+             sum(CASE WHEN gap_sec IS NULL OR gap_sec > {gap}
+                 THEN 1 ELSE 0 END)
+               OVER ({w} ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM (SELECT *, epoch(ts - lag(ts) OVER ({w})) AS gap_sec
+            FROM events))
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           epoch(max(ts) - min(ts)) AS duration_sec,
+           round(sum(value), 6) AS sum_value
+    FROM s GROUP BY user_id, session_id""".format(
+        gap=SESSION_GAP_SEC, w=_EVW))
+def session_stats(sf_dir: str):
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = session_aggregate(g, "user_id", "ts", "value",
+                                SESSION_GAP_SEC)
+        out["sum_value"] = out["sum_value"].round(6)
+        return out[["user_id", "session_id", "n_events", "start_ts",
+                    "end_ts", "duration_sec", "sum_value"]]
+
+    return partitioned_apply(ds, "user_id", fn, EVENTS_P,
+                             sort_cols=["user_id", "ts"])
+
+
+@register("asof_quote", sql="""
+    SELECT p.event_id, p.user_id, p.ts,
+           v.ts AS view_ts, v.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts""")
+def asof_quote(sf_dir: str):
+    """Point-in-time join: each purchase sees the latest preceding view
+    of the same user (J3, stages/asof.py)."""
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type",
+                          "value"])
+    probes = ev.filter(expr="event_type == 'purchase'") \
+               .select_columns(["event_id", "user_id", "ts"])
+    snaps = ev.filter(expr="event_type == 'view'") \
+              .select_columns(["user_id", "ts", "value"])
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["user_id", "view_ts", "view_value"])
+
+    snaps = snaps.map_batches(rn, batch_format="pyarrow")
+    return asof_join(probes, snaps, key="user_id", probe_ts="ts",
+                     snap_ts="view_ts", value_cols=["view_value"],
+                     num_partitions=EVENTS_P)
+
+
+@register("backfill", sql="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER ({w} ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+    FROM events""".format(w=_EVW))
+def backfill(sf_dir: str):
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type",
+                          "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g["pv"] = g["value"].where(g["event_type"] == "purchase")
+        g = add_backfill(g, "user_id", "pv", "last_purchase_value")
+        return g[["event_id", "user_id", "ts", "last_purchase_value"]]
+
+    return partitioned_apply(ds, "user_id", fn, EVENTS_P,
+                             sort_cols=["user_id", "ts", "event_id"])
+
+
+@register("time_slice", sql="""
+    SELECT event_id, user_id, event_type, value,
+           epoch(ts - TIMESTAMP '2024-01-10') AS ts_rebased_sec
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'""")
+def time_slice(sf_dir: str):
+    """Window filter + coordinate rebase — the filter-geojson analog
+    (src/filter_geojson.rs:29-63): predicate, then shift the kept rows'
+    coordinates by -offset."""
+    t0 = datetime(2024, 1, 10)
+    t1 = datetime(2024, 1, 20)
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type",
+                          "value"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(batch["ts"], pa.scalar(t0)),
+                    pc.less(batch["ts"], pa.scalar(t1)))
+        b = batch.filter(m)
+        reb = pc.divide(
+            pc.cast(pc.subtract(b["ts"], pa.scalar(t0)), pa.int64()),
+            pa.scalar(1_000_000.0))
+        return b.drop_columns(["ts"]).append_column("ts_rebased_sec", reb)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@register("hourly_rate", sql="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value) / count(*), 6) AS avg_value,
+           round(fmod(atan2(sum(sin(2 * pi() * (epoch_us(ts) % 86400000000)
+                                    / 86400000000.0)),
+                            sum(cos(2 * pi() * (epoch_us(ts) % 86400000000)
+                                    / 86400000000.0)))
+                      + 2 * pi(), 2 * pi()) / (2 * pi()) * 24, 6)
+             AS circ_hour
+    FROM events GROUP BY event_type""")
+def hourly_rate(sf_dir: str):
+    """Circular mean of event time-of-day per type — the reference's
+    angle-aware hue mean recast (src/features/color.rs:144-155), with
+    partial (sin, cos) sums combined associatively."""
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        us = batch["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        ang = 2 * np.pi * (us % 86_400_000_000) / 86_400_000_000.0
+        d = pd.DataFrame({"event_type": batch["event_type"],
+                          "s": np.sin(ang), "c": np.cos(ang),
+                          "v": batch["value"]})
+        g = d.groupby("event_type", as_index=False).agg(
+            n=("s", "size"), s=("s", "sum"), c=("c", "sum"),
+            v=("v", "sum"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+            .groupby("event_type").aggregate(
+                Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                Sum("c", alias_name="c"), Sum("v", alias_name="v"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        ang = np.arctan2(b["s"], b["c"])
+        hour = np.mod(ang + 2 * np.pi, 2 * np.pi) / (2 * np.pi) * 24
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "n": b["n"].astype(np.int64),
+            "avg_value": (b["v"] / b["n"]).round(6),
+            "circ_hour": hour.round(6),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+# ===========================================================================
+# TPC-H-ish relational coverage (S/M/A/sort operators)
+# ===========================================================================
+
+@register("pricing_summary", sql="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_base_cents,
+           round(sum(l_quantity) / count(*), 6) AS avg_qty,
+           round(sum(CAST(round(l_discount * 100) AS BIGINT))
+                 / (100.0 * count(*)), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus""")
+def pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary: predicate pushed to the Parquet
+    read, exact integer-cent partial sums per batch, tiny final groupby.
+    """
+    ds = rd.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate")
+                <= pa.scalar(datetime(1998, 9, 2), pa.timestamp("us"))))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["cents"] = np.round(
+            batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        batch["dcents"] = np.round(
+            batch["l_discount"].to_numpy() * 100).astype(np.int64)
+        g = batch.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False).agg(
+            q=("l_quantity", "sum"), cents=("cents", "sum"),
+            dcents=("dcents", "sum"), n=("l_quantity", "size"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+            .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+                Sum("q", alias_name="sum_qty"),
+                Sum("cents", alias_name="sum_base_cents"),
+                Sum("dcents", alias_name="dc"),
+                Sum("n", alias_name="count_order"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_qty"] = b["sum_qty"].astype(np.float64)
+        b["sum_base_cents"] = b["sum_base_cents"].astype(np.int64)
+        b["count_order"] = b["count_order"].astype(np.int64)
+        b["avg_qty"] = (b["sum_qty"] / b["count_order"]).round(6)
+        b["avg_disc"] = (b["dc"] / (100.0 * b["count_order"])).round(6)
+        return b[["l_returnflag", "l_linestatus", "sum_qty",
+                  "sum_base_cents", "avg_qty", "avg_disc", "count_order"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+@register("top_spenders", sql="""
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY o_custkey
+    ORDER BY total_cents DESC, o_custkey LIMIT 10""")
+def top_spenders(sf_dir: str):
+    """Aggregate -> global top-k (sort + limit with deterministic
+    tie-break)."""
+    ds = rd.read_parquet(_path(sf_dir, "orders"),
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["cents"] = np.round(
+            batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return batch.groupby("o_custkey", as_index=False).agg(
+            cents=("cents", "sum"))
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+            .groupby("o_custkey").aggregate(
+                Sum("cents", alias_name="total_cents"))
+    top = agg.sort(["total_cents", "o_custkey"],
+                   descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda b: b.astype({"total_cents": np.int64}),
+        batch_format="pandas").select_columns(["o_custkey", "total_cents"])
+
+
+@register("region_orders", sql="""
+    SELECT r.r_name AS region_name, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name""")
+def region_orders(sf_dir: str):
+    """Broadcast lookup join: the dimension chain customer->nation->
+    region is tiny, so it is collapsed to one custkey->region_name map,
+    ray.put ONCE, and probed per batch — no shuffle join (J2 pattern,
+    src/utils.rs:96-109 recast)."""
+    cust = pq.read_table(_path(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = pq.read_table(_path(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = pq.read_table(_path(sf_dir, "region"),
+                        columns=["r_regionkey", "r_name"]).to_pandas()
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey") \
+              .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    lookup_keys = dim["c_custkey"].to_numpy(np.int64)
+    order_k = np.argsort(lookup_keys)
+    lookup_keys = lookup_keys[order_k]
+    lookup_vals = dim["r_name"].to_numpy()[order_k]
+    ref = ray.put((lookup_keys, lookup_vals))
+
+    class Enrich:
+        def __init__(self):
+            self.keys, self.vals = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            idx = np.searchsorted(self.keys, batch["o_custkey"].to_numpy())
+            idx = np.clip(idx, 0, len(self.keys) - 1)
+            names = self.vals[idx]
+            cents = np.round(
+                batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
+            d = pd.DataFrame({"region_name": names, "cents": cents})
+            g = d.groupby("region_name", as_index=False).agg(
+                n=("cents", "size"), cents=("cents", "sum"))
+            g["n"] = g["n"].astype(np.int64)
+            return g
+
+    ds = rd.read_parquet(_path(sf_dir, "orders"),
+                         columns=["o_custkey", "o_totalprice"])
+    agg = ds.map_batches(Enrich, batch_format="pandas", concurrency=2) \
+            .groupby("region_name").aggregate(
+                Sum("n", alias_name="n_orders"),
+                Sum("cents", alias_name="total_cents"))
+    return agg.map_batches(
+        lambda b: b.astype({"n_orders": np.int64,
+                            "total_cents": np.int64}),
+        batch_format="pandas")
+
+
+# ===========================================================================
+# embeddings: similarity search / near-dup
+# ===========================================================================
+
+@register("ann_cosine", sql="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+         s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                      list_cosine_similarity(q.embedding, e.embedding)
+                        AS sim
+               FROM q CROSS JOIN embeddings e
+               WHERE e.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(sim, 6) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+    WHERE rank <= 5""")
+def ann_cosine(sf_dir: str):
+    ds = rd.read_parquet(_path(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return ann_mod.ann_bruteforce(ds, "embedding", "vec_id",
+                                  ANN_QUERY_IDS, k=ANN_K)
+
+
+@register("ann_lsh")  # approximate -> rows-only; recall tested in pytest
+def ann_lsh(sf_dir: str):
+    ds = rd.read_parquet(_path(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return ann_mod.ann_lsh(ds, "embedding", "vec_id", ANN_QUERY_IDS,
+                           k=ANN_K)
+
+
+@register("embedding_near_dup", sql="""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(a.embedding, b.embedding), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""")
+def embedding_near_dup(sf_dir: str):
+    ds = rd.read_parquet(_path(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return ann_mod.embedding_near_dup(ds, "embedding", "vec_id",
+                                      threshold=COSINE_TAU)
+
+
+# ===========================================================================
+# multimodal plumbing (codec stubbed; Ray-side real)
+# ===========================================================================
+
+@register("multimodal_decode")  # binary features -> rows-only check
+def multimodal_decode(sf_dir: str):
+    """Binary-payload pipeline: documents' text bytes wrapped in a fake
+    media container, decoded by the actor-pool stub stage."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        payloads = [
+            make_payload(t.encode(), width=len(t) % 640, height=480)
+            for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    wrapped = ds.map_batches(wrap, batch_format="pyarrow")
+    return wrapped.map_batches(DecodeMedia, batch_format="pyarrow",
+                               batch_size=256, concurrency=2)
+
+
+# ===========================================================================
+# pages flagship (synthetic corpus; no SQL view -> rows-only checks)
+# ===========================================================================
+
+def _corpus_scale(sf_dir: str) -> str:
+    return "t1" if "0.001" in sf_dir else "t2"
+
+
+@register("pages_features")
+def pages_features(sf_dir: str):
+    from ..corpus import corpus_dir
+    from .pages_features import compute_features
+    d = corpus_dir(_corpus_scale(sf_dir))
+    pages = rd.read_parquet(os.path.join(d, "pages.parquet"),
+                            columns=["url", "warc_ts", "html", "lang"])
+    return compute_features(pages, num_partitions=16, concurrency=4)
+
+
+@register("pages_probe_features")
+def pages_probe_features(sf_dir: str):
+    from ..corpus import corpus_dir
+    from .pages_features import compute_features, probe_features
+    d = corpus_dir(_corpus_scale(sf_dir))
+    pages = rd.read_parquet(os.path.join(d, "pages.parquet"),
+                            columns=["url", "warc_ts", "html", "lang"])
+    probes = rd.read_parquet(os.path.join(d, "probes.parquet"))
+    feats = compute_features(pages, num_partitions=16, concurrency=4)
+    return probe_features(feats, probes, num_partitions=16)
+
+
+@register("pages_sessions")
+def pages_sessions(sf_dir: str):
+    from ..corpus import corpus_dir
+    d = corpus_dir(_corpus_scale(sf_dir))
+    pages = rd.read_parquet(os.path.join(d, "pages.parquet"),
+                            columns=["url", "warc_ts"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g["n"] = 1.0
+        out = session_aggregate(g, "url", "warc_ts", "n",
+                                30 * 86400.0)
+        return out[["url", "session_id", "n_events", "start_ts",
+                    "end_ts", "duration_sec"]]
+
+    return partitioned_apply(pages, "url", fn, 16,
+                             sort_cols=["url", "warc_ts"])
+
+
+def all_queries() -> dict:
+    return dict(QUERIES)
+
+
+def all_oracle_sql() -> dict[str, str]:
+    return dict(ORACLE)

@@ -1,0 +1,82 @@
+"""Sort-merge point-in-time (as-of) join — SURVEY.md §2.4 J3, the core
+operator the north_rule adds over the reference (whose only join is a
+key-aligned column concat, ``src/main.rs:76-87``).
+
+Plan: both sides get the SAME ``hash(key) % P`` partition id (stages/
+partition.py), are tagged and unioned, and one ``groupby(part)`` —
+a single co-partitioning shuffle — delivers each partition's probes and
+snapshots to one task, which sorts by ts and runs a C merge pass
+(``pandas.merge_asof``, backward, allow_exact_matches=True, i.e.
+``snapshot_ts <= probe_ts``: strict point-in-time, zero leakage).
+Because probe and snapshot of the same entity always hash to the same
+partition, the join itself adds no second shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .partition import PART_COL, with_partition
+
+_SIDE = "__side"
+
+
+def asof_join(probes, snapshots, key: str, probe_ts: str, snap_ts: str,
+              value_cols: list[str], num_partitions: int = 32,
+              tolerance: pd.Timedelta | None = None):
+    """Left as-of join: every probe row survives; matched rows carry the
+    ``value_cols`` of the latest snapshot with ``snap_ts <= probe_ts``
+    (within ``tolerance`` if given), else nulls.
+
+    Returns a Dataset with probe columns + ``snap_ts`` + value_cols.
+    """
+    probe_cols = [c for c in probes.schema().names]
+    snap_keep = [key, snap_ts] + value_cols
+
+    p = with_partition(probes.select_columns(probe_cols),
+                       key, num_partitions)
+    s = with_partition(snapshots.select_columns(snap_keep),
+                       key, num_partitions)
+
+    # Align schemas for union: each side gets the other's columns as null.
+    def pad(missing_schema_cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            for name, typ in missing_schema_cols:
+                if name not in batch.column_names:
+                    batch = batch.append_column(
+                        name, pa.nulls(len(batch), typ))
+            return batch
+        return fn
+
+    s_schema = [(f.name, f.type) for f in snapshots.schema().base_schema
+                if f.name in snap_keep and f.name != key]
+    p_schema = [(f.name, f.type) for f in probes.schema().base_schema
+                if f.name != key]
+    p = p.map_batches(pad(s_schema), batch_format="pyarrow") \
+         .add_column(_SIDE, lambda df: np.zeros(len(df), np.int8),
+                     batch_format="pandas")
+    s = s.map_batches(pad(p_schema), batch_format="pyarrow") \
+         .add_column(_SIDE, lambda df: np.ones(len(df), np.int8),
+                     batch_format="pandas")
+    both = p.union(s)
+
+    out_cols = probe_cols + [snap_ts] + value_cols
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        pr = g[g[_SIDE] == 0]
+        sn = g[g[_SIDE] == 1]
+        pr = pr.sort_values([probe_ts, key], kind="mergesort")
+        if len(sn) == 0:
+            return pr[out_cols] if len(pr) else pd.DataFrame(
+                {c: pd.Series(dtype=g[c].dtype) for c in out_cols})
+        sn = sn.sort_values([snap_ts, key], kind="mergesort")
+        merged = pd.merge_asof(
+            pr[probe_cols], sn[[key, snap_ts] + value_cols],
+            left_on=probe_ts, right_on=snap_ts, by=key,
+            direction="backward", allow_exact_matches=True,
+            tolerance=tolerance)
+        return merged[out_cols]
+
+    return both.groupby(PART_COL).map_groups(merge, batch_format="pandas")

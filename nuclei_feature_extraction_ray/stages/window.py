@@ -1,0 +1,190 @@
+"""Windowed temporal operators: lag/lead, rolling (row- and time-based),
+gap sessionize, backfill — the stateful core mandated by north_rule
+(absent in the reference, whose windows are spatial and stateless;
+SURVEY.md §2.3 ST6, §2.8).
+
+Semantics / leakage: every kernel is TRAILING-only — row i sees rows of
+the same entity with ``ts <= ts_i`` (and earlier position on ties). The
+partition is sorted before kernels run, so the "watermark" is simply the
+scan cursor: no later row can retroactively change an emitted value, a
+property the leakage test (tests/test_leakage.py) verifies by prefix
+recomputation.
+
+All kernels take ONE sorted partition frame (many entities) and
+vectorize across entities with pandas groupby (C implementation);
+``state/deque.py`` holds the explicit monotonic-deque used for
+rolling extremes in the flagship feature stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def add_lag_lead(g: pd.DataFrame, key: str, cols: list[str],
+                 ts_col: str | None = None) -> pd.DataFrame:
+    """prev_/next_ per entity + gap seconds; frame must be sorted by
+    (key, ts, tiebreak)."""
+    gb = g.groupby(key, sort=False)
+    for c in cols:
+        g["prev_" + c] = gb[c].shift(1)
+        g["next_" + c] = gb[c].shift(-1)
+        g["delta_" + c] = g[c] - g["prev_" + c]
+    if ts_col is not None:
+        prev_ts = gb[ts_col].shift(1)
+        g["gap_sec"] = (g[ts_col] - prev_ts).dt.total_seconds()
+    return g
+
+
+# -- vectorized trailing-window machinery ----------------------------------
+# The left window bound per row is non-decreasing (a watermark cursor
+# over the sorted partition). sum/mean/count come from prefix sums;
+# min/max from a sparse (doubling) table — O(n log n), zero Python
+# per-entity calls. state/deque.py holds the equivalent streaming
+# monotonic deque; tests assert all three implementations agree.
+
+def segment_codes(sorted_keys: np.ndarray) -> np.ndarray:
+    """Contiguous 0-based segment id per row of a key-sorted array."""
+    if len(sorted_keys) == 0:
+        return np.empty(0, np.int64)
+    change = np.empty(len(sorted_keys), bool)
+    change[0] = True
+    change[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    return np.cumsum(change) - 1
+
+
+def segment_starts(codes: np.ndarray) -> np.ndarray:
+    """Per-row global index of the row's segment start."""
+    if len(codes) == 0:
+        return np.empty(0, np.int64)
+    idx = np.arange(len(codes))
+    first = np.zeros(len(codes), bool)
+    first[0] = True
+    first[1:] = codes[1:] != codes[:-1]
+    return idx[first][codes]
+
+
+def row_window_lefts(codes: np.ndarray, window: int) -> np.ndarray:
+    """Left bound of the trailing row window (current + window-1
+    preceding, clipped at the entity boundary)."""
+    idx = np.arange(len(codes))
+    return np.maximum(segment_starts(codes), idx - window + 1)
+
+
+def time_window_lefts(codes: np.ndarray, ts_us: np.ndarray,
+                      span_us: int) -> np.ndarray:
+    """Left bound of the trailing time window (ts in (ts_i - span, ts_i]),
+    never crossing an entity boundary. Vectorized via the offset trick:
+    each segment's timestamps are shifted onto a private int64 range
+    separated by > span, so ONE global searchsorted respects segments.
+    """
+    if len(codes) == 0:
+        return np.empty(0, np.int64)
+    starts = segment_starts(codes)
+    base = ts_us[starts]                       # per-row segment base ts
+    rel = ts_us - base                         # within-segment offset
+    seg_span = np.zeros(codes.max() + 1, np.int64)
+    np.maximum.at(seg_span, codes, rel)
+    stride = np.concatenate([[0], np.cumsum(seg_span + span_us + 1)[:-1]])
+    vts = rel + stride[codes]
+    return np.searchsorted(vts, vts - span_us, side="left")
+
+
+def _sparse_extreme(values: np.ndarray, lefts: np.ndarray, op) -> np.ndarray:
+    n = len(values)
+    out = np.empty(n, np.float64)
+    if n == 0:
+        return out
+    idx = np.arange(n)
+    length = idx - lefts + 1
+    tables = [values.astype(np.float64)]
+    while (1 << len(tables)) <= length.max():
+        half = 1 << (len(tables) - 1)
+        prev = tables[-1]
+        tables.append(op(prev[:-half], prev[half:]))
+    j = np.int64(np.log2(length))
+    for jv in np.unique(j):
+        m = j == jv
+        t = tables[jv]
+        out[m] = op(t[lefts[m]], t[idx[m] - (1 << jv) + 1])
+    return out
+
+
+def windowed_stats(values: np.ndarray, lefts: np.ndarray) -> dict:
+    """min/max/sum/mean/count over [lefts[i], i] for every i."""
+    idx = np.arange(len(values))
+    count = (idx - lefts + 1).astype(np.int64)
+    prefix = np.concatenate([[0.0], np.cumsum(values, dtype=np.float64)])
+    wsum = prefix[idx + 1] - prefix[lefts]
+    return {
+        "min": _sparse_extreme(values, lefts, np.minimum),
+        "max": _sparse_extreme(values, lefts, np.maximum),
+        "sum": wsum,
+        "mean": wsum / count,
+        "count": count,
+    }
+
+
+def add_rolling_rows(g: pd.DataFrame, key: str, col: str, window: int,
+                     prefix: str | None = None) -> pd.DataFrame:
+    """Trailing row-window (current + window-1 preceding) min/max/mean/
+    count per entity; frame must be sorted by (key, ts)."""
+    p = prefix or ("roll%d_" % window)
+    codes = segment_codes(g[key].to_numpy())
+    lefts = row_window_lefts(codes, window)
+    st = windowed_stats(g[col].to_numpy(np.float64), lefts)
+    for stat in ("min", "max", "mean", "count"):
+        g[p + stat] = st[stat]
+    return g
+
+
+def add_rolling_time(g: pd.DataFrame, key: str, ts_col: str, col: str,
+                     span: pd.Timedelta, prefix: str) -> pd.DataFrame:
+    """Trailing TIME-window aggregates (rows with ts in
+    (ts_i - span, ts_i]) per entity — variable-width windows, the case
+    the reference's fixed pixel windows never hit."""
+    codes = segment_codes(g[key].to_numpy())
+    ts_us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+    lefts = time_window_lefts(codes, ts_us,
+                              int(span.value // 1000))
+    st = windowed_stats(g[col].to_numpy(np.float64), lefts)
+    for stat in ("min", "max", "mean", "count"):
+        g[prefix + stat] = st[stat]
+    return g
+
+
+def add_session_ids(g: pd.DataFrame, key: str, ts_col: str,
+                    gap_seconds: float,
+                    out_col: str = "session_id") -> pd.DataFrame:
+    """Gap-based sessionize: a new session starts when the gap to the
+    previous row of the same entity exceeds ``gap_seconds`` (strictly).
+    session_id is 0-based per entity. Sorted-frame precondition."""
+    gb = g.groupby(key, sort=False)
+    gap = (g[ts_col] - gb[ts_col].shift(1)).dt.total_seconds()
+    new = gap.isna() | (gap > gap_seconds)
+    g[out_col] = new.groupby(g[key], sort=False).cumsum().astype(np.int64) - 1
+    return g
+
+
+def add_backfill(g: pd.DataFrame, key: str, src_col: str,
+                 out_col: str) -> pd.DataFrame:
+    """Forward-fill the last non-null ``src_col`` per entity (point-in-
+    time backfill: each row carries the most recent known value)."""
+    g[out_col] = g.groupby(key, sort=False)[src_col].ffill()
+    return g
+
+
+def session_aggregate(g: pd.DataFrame, key: str, ts_col: str,
+                      value_col: str, gap_seconds: float) -> pd.DataFrame:
+    """Sessionize then reduce to one row per (entity, session)."""
+    g = add_session_ids(g, key, ts_col, gap_seconds)
+    agg = g.groupby([key, "session_id"], sort=False).agg(
+        n_events=(ts_col, "size"),
+        start_ts=(ts_col, "min"),
+        end_ts=(ts_col, "max"),
+        sum_value=(value_col, "sum"),
+    ).reset_index()
+    agg["duration_sec"] = (agg["end_ts"] - agg["start_ts"]).dt.total_seconds()
+    agg["n_events"] = agg["n_events"].astype(np.int64)
+    return agg

@@ -1,0 +1,176 @@
+"""Kernel unit tests vs slow/obvious oracles (SURVEY.md §5 item 1)."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nuclei_feature_extraction_ray.functions.text_stats import (
+    text_stats_frame)
+from nuclei_feature_extraction_ray.functions.quality import quality_frame
+from nuclei_feature_extraction_ray.functions.langid import langid_frame
+from nuclei_feature_extraction_ray.functions.hashing import (
+    hash64, hamming64, minhash_signatures, simhash64, winnow_fingerprint,
+    word_shingles)
+from nuclei_feature_extraction_ray.state.deque import (
+    MonotonicDeque, sliding_extreme, sliding_extreme_time)
+from nuclei_feature_extraction_ray.stages.window import (
+    row_window_lefts, segment_codes, segment_starts, time_window_lefts,
+    windowed_stats)
+
+
+def test_text_stats_hand_computed():
+    s = pd.Series(["ab cd ab", "", "A1\nb2", None])
+    f = text_stats_frame(s)
+    assert f["n_chars"].tolist() == [8, 0, 5, 0]
+    assert f["n_tokens"].tolist() == [3, 0, 2, 0]
+    assert f["n_lines"].tolist() == [1, 0, 2, 0]
+    assert f["ttr"][0] == pytest.approx(2 / 3)
+    assert np.isnan(f["ttr"][1])
+    assert f["alpha_ratio"][2] == pytest.approx(2 / 5)
+    assert f["digit_ratio"][2] == pytest.approx(2 / 5)
+    assert f["ws_ratio"][2] == pytest.approx(1 / 5)
+    assert f["upper_ratio"][2] == pytest.approx(1 / 5)
+    assert f["mean_token_len"][0] == pytest.approx(6 / 3)
+
+
+def test_text_stats_nonascii():
+    f = text_stats_frame(pd.Series(["héllo wörld 数据"]))
+    # é ö and CJK land in other_ratio by design (ASCII classes).
+    assert f["n_tokens"][0] == 3
+    assert f["other_ratio"][0] == pytest.approx(4 / 14)
+    assert f["n_bytes"][0] > f["n_chars"][0]
+
+
+def test_quality_bounds():
+    q = quality_frame(pd.Series(["the cat sat on the mat " * 20, "!!!"]))
+    assert 0 <= q["quality"][0] <= 1.0001
+    assert q["stop_ratio"][0] > 0.2
+    assert q["quality"][1] < q["quality"][0]
+
+
+def test_langid_scripts():
+    f = langid_frame(pd.Series([
+        "the quick brown fox is over the dog",
+        "der schnelle braune Fuchs über straße",
+        "le renard est par-dessus le chien",
+        "数据 流 批 查询 连接 窗口",
+        "بيانات تدفق دفعة استعلام",
+        ""]))
+    assert f["pred_lang"].tolist()[:5] == ["en", "de", "fr", "zh", "ar"]
+    assert f["pred_lang"][5] == "und"
+
+
+def test_hash64_stable_and_spread():
+    a = hash64(["x", "y", "x"])
+    assert a[0] == a[2] and a[0] != a[1]
+    # must equal a fresh call (process-stable is covered by pandas key)
+    assert (hash64(["x", "y", "x"]) == a).all()
+
+
+def test_minhash_jaccard_estimate():
+    rng = np.random.default_rng(0)
+    base = [f"tok{i}" for i in range(400)]
+    t1 = base[:300]
+    t2 = base[100:400]  # true overlap 200/400 = 0.5
+    s1 = word_shingles(t1, 1)
+    s2 = word_shingles(t2, 1)
+    sig = minhash_signatures([s1, s2], k=256)
+    est = (sig[0] == sig[1]).mean()
+    true = len(np.intersect1d(s1, s2)) / len(np.union1d(s1, s2))
+    assert abs(est - true) < 0.1
+
+
+def test_simhash_similar_texts_close():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("lazy", "sleepy")
+    c = "completely different words entirely unrelated content here"
+    ha, hb, hc = simhash64([hash64(t.split()) for t in (a, b, c)])
+    close = hamming64(np.array([ha]), np.array([hb]))[0]
+    far = hamming64(np.array([ha]), np.array([hc]))[0]
+    assert close < far
+
+
+def test_winnow_fingerprint_contained():
+    t = "abcdefghijklmnopqrstuvwxyz" * 4
+    fp = winnow_fingerprint(t)
+    all_grams = hash64([t[i:i + 8] for i in range(len(t) - 7)])
+    assert np.isin(fp, all_grams).all()
+    assert (winnow_fingerprint(t) == fp).all()
+
+
+# -- deque / sparse-table / pandas triple agreement -------------------------
+
+def test_monotonic_deque_matches_pandas_rows():
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=500)
+    for mode, fn in (("min", "min"), ("max", "max")):
+        got = sliding_extreme(v, 7, mode)
+        want = pd.Series(v).rolling(7, min_periods=1).agg(fn).to_numpy()
+        np.testing.assert_allclose(got, want)
+
+
+def test_deque_time_window_matches_bruteforce():
+    rng = np.random.default_rng(2)
+    ts = np.sort(rng.integers(0, 10_000, 300)).astype(np.int64)
+    v = rng.normal(size=300)
+    span = 500
+    got = sliding_extreme_time(ts, v, span, "max")
+    want = np.array([v[(ts >= ts[i] - span) & (ts <= ts[i])].max()
+                     for i in range(len(v))])
+    np.testing.assert_allclose(got, want)
+
+
+def test_windowed_stats_multi_entity_vs_pandas():
+    rng = np.random.default_rng(3)
+    keys = np.sort(rng.integers(0, 20, 400))
+    v = rng.normal(size=400)
+    codes = segment_codes(keys)
+    lefts = row_window_lefts(codes, 5)
+    st = windowed_stats(v, lefts)
+    df = pd.DataFrame({"k": keys, "v": v})
+    r = df.groupby("k")["v"].rolling(5, min_periods=1)
+    np.testing.assert_allclose(
+        st["min"], r.min().reset_index(level=0, drop=True).to_numpy())
+    np.testing.assert_allclose(
+        st["max"], r.max().reset_index(level=0, drop=True).to_numpy())
+    np.testing.assert_allclose(
+        st["mean"], r.mean().reset_index(level=0, drop=True).to_numpy())
+    np.testing.assert_allclose(
+        st["count"], r.count().reset_index(level=0, drop=True).to_numpy())
+
+
+def test_time_window_lefts_segments_and_deque_agree():
+    rng = np.random.default_rng(4)
+    n = 300
+    keys = np.sort(rng.integers(0, 10, n))
+    ts = np.empty(n, np.int64)
+    for k in np.unique(keys):
+        m = keys == k
+        ts[m] = np.sort(rng.integers(0, 100_000, m.sum()))
+    v = rng.normal(size=n)
+    codes = segment_codes(keys)
+    lefts = time_window_lefts(codes, ts, 5_000)
+    st = windowed_stats(v, lefts)
+    # per-entity deque oracle
+    for k in np.unique(keys):
+        m = keys == k
+        want_max = sliding_extreme_time(ts[m], v[m], 5_000, "max")
+        np.testing.assert_allclose(st["max"][m], want_max)
+        # brute force left bounds
+        idx = np.nonzero(m)[0]
+        for pos, i in enumerate(idx):
+            inwin = (ts[m] >= ts[i] - 5_000) & (ts[m] <= ts[i])
+            assert st["count"][i] == inwin[:pos + 1].sum()
+
+
+def test_segment_helpers():
+    codes = segment_codes(np.array(["a", "a", "b", "c", "c", "c"]))
+    assert codes.tolist() == [0, 0, 1, 2, 2, 2]
+    assert segment_starts(codes).tolist() == [0, 0, 2, 3, 3, 3]
+    deque = MonotonicDeque("min", window_rows=2)
+    outs = []
+    for i, v in enumerate([5.0, 3.0, 4.0, 1.0]):
+        deque.push(i, v)
+        outs.append(deque.extreme())
+    assert outs == [5.0, 3.0, 3.0, 1.0]
