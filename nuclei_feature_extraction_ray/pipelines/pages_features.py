@@ -55,11 +55,13 @@ FEATURE_COLUMNS = (
 )
 
 
-def extract_stage(pages_ds, concurrency: int = 8, batch_size: int = 256):
+def extract_stage(pages_ds, concurrency: int | None = None,
+                  batch_size: int = 256):
     """html -> extracted_text (+ok flag, +html_hash); html dropped."""
+    from ..util import pool_size
     ds = pages_ds.map_batches(
         ExtractText, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=concurrency or pool_size())
 
     def slim(batch: pa.Table) -> pa.Table:
         hh = hash64(batch["html"].to_numpy(zero_copy_only=False))

@@ -200,7 +200,7 @@ def dedup_exact(sf_dir: str):
              len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     )
-    SELECT a, b, round(inter * 1.0 / uni, 6) AS jaccard
+    SELECT a, b, inter * 1.0 / uni AS jaccard
     FROM pairs WHERE uni > 0 AND inter * 1.0 / uni >= 0.08""")
 def jaccard_pairs(sf_dir: str):
     """Exact n-gram-Jaccard near-dup pairs via the inverted-index plan
@@ -208,22 +208,19 @@ def jaccard_pairs(sf_dir: str):
     pairs — same result, quadratic plan."""
     ds = rd.read_parquet(_path(sf_dir, "documents"),
                          columns=["doc_id", "text"])
-    out = dedup_mod.jaccard_pairs(ds, "text", "doc_id",
-                                  ngram=JACCARD_NGRAM,
-                                  threshold=JACCARD_TAU)
-    return out.map_batches(lambda b: _r6(b, ["jaccard"]),
-                           batch_format="pandas")
+    # int/int division is bit-identical across engines: no rounding.
+    return dedup_mod.jaccard_pairs(ds, "text", "doc_id",
+                                   ngram=JACCARD_NGRAM,
+                                   threshold=JACCARD_TAU)
 
 
 @register("minhash_pairs")  # probabilistic recall -> rows-only check
 def minhash_pairs(sf_dir: str):
     ds = rd.read_parquet(_path(sf_dir, "documents"),
                          columns=["doc_id", "text"])
-    out = dedup_mod.minhash_lsh_pairs(ds, "text", "doc_id",
-                                      ngram=JACCARD_NGRAM,
-                                      threshold=0.2)
-    return out.map_batches(lambda b: _r6(b, ["jaccard"]),
-                           batch_format="pandas")
+    return dedup_mod.minhash_lsh_pairs(ds, "text", "doc_id",
+                                       ngram=JACCARD_NGRAM,
+                                       threshold=0.2)
 
 
 @register("simhash_pairs")  # not SQL-expressible -> rows-only check
@@ -623,7 +620,7 @@ def region_orders(sf_dir: str):
 @register("ann_cosine", sql="""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
          s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                      list_cosine_similarity(q.embedding, e.embedding)
+                      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
                         AS sim
                FROM q CROSS JOIN embeddings e
                WHERE e.vec_id != q.vec_id)
@@ -649,10 +646,10 @@ def ann_lsh(sf_dir: str):
 
 @register("embedding_near_dup", sql="""
     SELECT a.vec_id AS a, b.vec_id AS b,
-           round(list_cosine_similarity(a.embedding, b.embedding), 6)
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
              AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""")
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""")
 def embedding_near_dup(sf_dir: str):
     ds = rd.read_parquet(_path(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
@@ -698,7 +695,7 @@ def pages_features(sf_dir: str):
     d = corpus_dir(_corpus_scale(sf_dir))
     pages = rd.read_parquet(os.path.join(d, "pages.parquet"),
                             columns=["url", "warc_ts", "html", "lang"])
-    return compute_features(pages, num_partitions=16, concurrency=4)
+    return compute_features(pages, num_partitions=16, concurrency=2)
 
 
 @register("pages_probe_features")
@@ -709,7 +706,7 @@ def pages_probe_features(sf_dir: str):
     pages = rd.read_parquet(os.path.join(d, "pages.parquet"),
                             columns=["url", "warc_ts", "html", "lang"])
     probes = rd.read_parquet(os.path.join(d, "probes.parquet"))
-    feats = compute_features(pages, num_partitions=16, concurrency=4)
+    feats = compute_features(pages, num_partitions=16, concurrency=2)
     return probe_features(feats, probes, num_partitions=16)
 
 

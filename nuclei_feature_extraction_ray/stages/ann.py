@@ -22,6 +22,8 @@ import pyarrow as pa
 
 import ray
 
+from ..util import pool_size
+
 
 def _stack(emb_chunk) -> np.ndarray:
     arr = emb_chunk.combine_chunks() if hasattr(emb_chunk, "combine_chunks") \
@@ -75,7 +77,7 @@ def ann_bruteforce(ds, emb_col: str, id_col: str,
             })
 
     partials = ds.select_columns([id_col, emb_col]).map_batches(
-        BlockTopK, batch_format="pyarrow", concurrency=4,
+        BlockTopK, batch_format="pyarrow", concurrency=pool_size(),
         batch_size=4096).to_pandas()     # partials: Q * k * n_blocks rows
 
     partials = partials[partials["query_id"] != partials["neighbor_id"]]
@@ -139,7 +141,7 @@ def ann_lsh(ds, emb_col: str, id_col: str, query_ids: list[int],
                              "score": pa.array(sims.reshape(-1))})
 
     partials = ds.select_columns([id_col, emb_col]).map_batches(
-        BucketScan, batch_format="pyarrow", concurrency=4,
+        BucketScan, batch_format="pyarrow", concurrency=pool_size(),
         batch_size=4096).to_pandas()
     partials = partials[partials["query_id"] != partials["neighbor_id"]]
     partials = partials.sort_values(
@@ -187,5 +189,5 @@ def embedding_near_dup(ds, emb_col: str, id_col: str,
             })
 
     return (all_rows.map_batches(PairBlock, batch_format="pyarrow",
-                                 concurrency=4, batch_size=2048)
+                                 concurrency=pool_size(), batch_size=2048)
             .to_pandas())

@@ -50,10 +50,21 @@ def asof_join(probes, snapshots, key: str, probe_ts: str, snap_ts: str,
             return batch
         return fn
 
-    s_schema = [(f.name, f.type) for f in snapshots.schema().base_schema
-                if f.name in snap_keep and f.name != key]
-    p_schema = [(f.name, f.type) for f in probes.schema().base_schema
-                if f.name != key]
+    def fields_of(ds) -> list[tuple[str, pa.DataType]]:
+        sch = ds.schema()
+        out = []
+        for n, t in zip(sch.names, sch.types):
+            if not isinstance(t, pa.DataType):
+                try:
+                    t = pa.from_numpy_dtype(t)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    t = pa.string()   # pandas object dtype
+            out.append((n, t))
+        return out
+
+    s_schema = [(n, t) for n, t in fields_of(snapshots)
+                if n in snap_keep and n != key]
+    p_schema = [(n, t) for n, t in fields_of(probes) if n != key]
     p = p.map_batches(pad(s_schema), batch_format="pyarrow") \
          .add_column(_SIDE, lambda df: np.zeros(len(df), np.int8),
                      batch_format="pandas")

@@ -6,14 +6,21 @@ None of these exist in the reference (SURVEY.md §2.6 — it has no
 dedup/distinct at all); they are first-class here because a 100 TB web
 corpus is unusable without them.
 
-Shuffle accounting (the thing that matters at scale):
-* exact dedup — one groupby on a 64-bit content hash;
-* jaccard — explode to (shingle, doc) posting rows -> groupby(shingle)
-  emits pairs only within a posting list -> groupby(pair) counts; hot
-  shingles are the skew risk -> ``max_df`` frequency cutoff;
-* minhash-lsh — constant work per doc (k hashes), then one groupby on
-  (band, bucket); candidate verification is partition-local;
-* simhash — 4-band pigeonhole blocking is EXACT for hamming<=3.
+Execution shape: Ray's ``groupby(fine_key).map_groups`` pays a Python
+call per group, which is catastrophic for millions of tiny groups
+(hashes, LSH buckets, pairs). Every stage here therefore shuffles on a
+COARSE hash partition (``hash(fine_key) % P``) and runs ONE vectorized
+pandas/numpy pass per partition that handles all its fine groups —
+P Python calls total, like stages/partition.partitioned_apply.
+
+Shuffle accounting (what matters at 100 TB):
+* exact dedup — one groupby on an 8-byte content hash (bodies never
+  move unless requested);
+* jaccard — explode to (shingle, doc) postings -> pairs within each
+  posting list -> count per pair; hot shingles are the skew risk ->
+  ``max_df`` cutoff (documented semantic knob);
+* minhash-lsh — constant work per doc, one groupby on (band, bucket);
+* simhash — 4-band pigeonhole blocking is EXACT for hamming <= 3.
 """
 
 from __future__ import annotations
@@ -25,35 +32,46 @@ import pyarrow as pa
 from ..functions.hashing import (hash64, hamming64, lsh_band_keys,
                                  minhash_signatures, simhash64,
                                  word_shingles)
+from .partition import PART_COL, with_partition
+
+_EMPTY_PAIRS = {"a": np.int64, "b": np.int64}
+
+
+def _empty(cols: dict) -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
 
 def exact_dedup(ds, content_col: str, id_col: str,
-                keep_content: bool = False):
-    """Keep one deterministic winner (min id) per distinct content value.
-
-    Grouping key is the 64-bit content hash so the shuffle moves 8-byte
-    keys, not document bodies; the winner is min(id) so retries and
-    block order can't change the result. Emits (id, n_copies).
-    """
-    def add_hash(batch: pa.Table) -> pa.Table:
-        h = hash64(batch[content_col].to_numpy(zero_copy_only=False))
-        return batch.append_column("__h", pa.array(h.astype(np.int64)))
-
+                keep_content: bool = False, num_partitions: int = 32):
+    """Keep one deterministic winner (min id) per distinct content
+    value; emits (id, n_copies). The shuffle key is the 64-bit content
+    hash, so only (id, hash) move; the winner is min(id), so block
+    order and task retries cannot change the result."""
     cols = [content_col, id_col] if keep_content else [id_col]
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash64(batch[content_col].to_numpy(zero_copy_only=False))
+        batch = batch.append_column("__h", pa.array(h.astype(np.int64)))
+        return batch.select(cols + ["__h"])
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")
-        out = g.head(1)[cols].copy()
-        out["n_copies"] = np.int64(len(g))
+        gb = g.groupby("__h", sort=False)
+        out = gb.head(1)[cols].copy()
+        out["n_copies"] = gb.size().reindex(
+            gb.head(1)["__h"]).to_numpy(np.int64)
         return out
 
-    return (ds.select_columns(cols)
-              .map_batches(add_hash, batch_format="pyarrow")
-              .groupby("__h").map_groups(first, batch_format="pandas")
-              .select_columns(cols + ["n_copies"]))
+    ds = ds.select_columns([content_col, id_col]) \
+           .map_batches(add_hash, batch_format="pyarrow")
+    ds = with_partition(ds, "__h", num_partitions)
+    return ds.groupby(PART_COL).map_groups(
+        dedup_part, batch_format="pandas").select_columns(
+        cols + ["n_copies"])
 
 
 # ---------------------------------------------------------------------------
@@ -64,18 +82,30 @@ def _tokenize(texts: pd.Series) -> list[list[str]]:
     return [t.split() if isinstance(t, str) else [] for t in texts]
 
 
+def _segment_pairs(sorted_group_keys: np.ndarray):
+    """For an array sorted by group key, yield (start, end) per group."""
+    _, starts = np.unique(sorted_group_keys, return_index=True)
+    ends = np.append(starts[1:], len(sorted_group_keys))
+    return starts, ends
+
+
 def jaccard_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
                   threshold: float = 0.2, max_df: int | None = None,
-                  num_partitions: int = 32):
-    """All pairs (a < b) with word-``ngram`` shingle Jaccard >= threshold.
+                  num_partitions: int = 16):
+    """All pairs (a < b) with word-``ngram`` shingle Jaccard >=
+    threshold, computed exactly with an inverted index:
 
-    Stage 1 (map_batches): doc -> distinct shingle hashes, emitted as
-    posting rows (shingle, doc, doc_size).
-    Stage 2 (groupby shingle): pairs within each posting list with
-    co-occurrence count 1 each. ``max_df`` drops shingles appearing in
-    more docs (stop-shingles; skew guard — documented semantic knob).
-    Stage 3 (groupby pair): sum co-occurrence -> intersection size;
-    jaccard = inter / (|a| + |b| - inter).
+    1. map_batches: doc -> distinct shingle hashes -> posting rows
+       (shingle, doc, doc_size);
+    2. partition by hash(shingle): per partition, one numpy pass emits
+       the pairs of every posting list (``max_df`` drops stop-shingles
+       — the skew guard);
+    3. partition by hash(pair): per partition, one pandas groupby
+       counts co-occurrences = |intersection| and filters by
+       jaccard = inter / (|a| + |b| - inter).
+
+    The division is int/int in both engines -> bit-identical to the
+    SQL oracle without any rounding.
     """
     def explode(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pandas()
@@ -86,45 +116,61 @@ def jaccard_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
             sh.append(s)
             did.append(np.full(len(s), ids[i]))
             dsz.append(np.full(len(s), len(s)))
+        cat = lambda xs, t: (np.concatenate(xs).astype(t) if xs
+                             else np.empty(0, t))
         return pa.table({
-            "shingle": pa.array(np.concatenate(sh).astype(np.int64)
-                                if sh else np.empty(0, np.int64)),
-            "doc": pa.array(np.concatenate(did).astype(np.int64)
-                            if did else np.empty(0, np.int64)),
-            "size": pa.array(np.concatenate(dsz).astype(np.int64)
-                             if dsz else np.empty(0, np.int64)),
+            "shingle": pa.array(cat(sh, np.int64)),
+            "doc": pa.array(cat(did, np.int64)),
+            "size": pa.array(cat(dsz, np.int64)),
         })
 
-    def pairs_in_posting(g: pd.DataFrame) -> pd.DataFrame:
-        if max_df is not None and len(g) > max_df:
-            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in
-                                 ("a", "b", "sa", "sb")})
-        g = g.sort_values("doc", kind="mergesort")
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shingle", "doc"], kind="mergesort")
+        sh = g["shingle"].to_numpy()
         d = g["doc"].to_numpy()
         s = g["size"].to_numpy()
-        i, j = np.triu_indices(len(d), k=1)
-        return pd.DataFrame({"a": d[i], "b": d[j], "sa": s[i], "sb": s[j]})
+        starts, ends = _segment_pairs(sh)
+        out_a, out_b, out_sa, out_sb = [], [], [], []
+        for st, en in zip(starts, ends):
+            m = en - st
+            if m < 2 or (max_df is not None and m > max_df):
+                continue
+            i, j = np.triu_indices(m, k=1)
+            out_a.append(d[st + i])
+            out_b.append(d[st + j])
+            out_sa.append(s[st + i])
+            out_sb.append(s[st + j])
+        if not out_a:
+            return _empty({"a": np.int64, "b": np.int64,
+                           "sa": np.int64, "sb": np.int64})
+        return pd.DataFrame({
+            "a": np.concatenate(out_a), "b": np.concatenate(out_b),
+            "sa": np.concatenate(out_sa), "sb": np.concatenate(out_sb)})
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        inter = batch["inter"].to_numpy(np.float64)
-        union = (batch["sa"] + batch["sb"]).to_numpy(np.float64) - inter
-        jac = np.where(union > 0, inter / union, 0.0)
-        out = batch[["a", "b"]].copy()
-        out["jaccard"] = jac
-        return out[jac >= threshold]
-
-    from ray.data.aggregate import Count, Max
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["a", "b"], sort=False, as_index=False).agg(
+            inter=("sa", "size"), sa=("sa", "first"), sb=("sb", "first"))
+        inter = agg["inter"].to_numpy(np.int64)
+        union = agg["sa"].to_numpy() + agg["sb"].to_numpy() - inter
+        jac = inter / union
+        agg["jaccard"] = jac
+        return agg.loc[jac >= threshold, ["a", "b", "jaccard"]]
 
     post = ds.select_columns([text_col, id_col]).map_batches(
         explode, batch_format="pyarrow")
-    cand = post.groupby("shingle").map_groups(
-        pairs_in_posting, batch_format="pandas")
-    # Vectorized combine: intersection size = co-occurrence count; the
-    # per-doc set sizes ride along (constant per pair -> Max).
-    agg = cand.groupby(["a", "b"]).aggregate(
-        Count(alias_name="inter"),
-        Max("sa", alias_name="sa"), Max("sb", alias_name="sb"))
-    return agg.map_batches(score, batch_format="pandas")
+    post = with_partition(post, "shingle", num_partitions)
+    cand = post.groupby(PART_COL).map_groups(
+        pairs_part, batch_format="pandas")
+
+    def add_pair_key(batch: pa.Table) -> pa.Table:
+        pk = (batch["a"].to_numpy() * np.int64(1000003)
+              + batch["b"].to_numpy())
+        return batch.append_column("__pk", pa.array(pk))
+
+    cand = cand.map_batches(add_pair_key, batch_format="pyarrow")
+    cand = with_partition(cand, "__pk", num_partitions)
+    return cand.groupby(PART_COL).map_groups(
+        score_part, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -133,13 +179,11 @@ def jaccard_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
 
 def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
                       num_hashes: int = 64, bands: int = 16,
-                      threshold: float = 0.2):
-    """Candidate pairs from LSH banding, verified by exact Jaccard on the
-    pair's shingle sets (re-derived inside the verifying task from the
-    two docs' texts, carried through the bucket groupby).
-
-    Probabilistic recall (standard S-curve for r=k/bands rows per band);
-    deterministic given the fixed hash seeds — retries are idempotent.
+                      threshold: float = 0.2, num_partitions: int = 16):
+    """Candidate pairs from LSH banding, verified by exact Jaccard on
+    the pair's shingle sets (re-derived from the texts carried through
+    the bucket shuffle). Probabilistic recall (standard S-curve with
+    r = k/bands rows per band); deterministic given fixed hash seeds.
     """
     def sig(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pandas()
@@ -156,34 +200,66 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
                              pa.string()),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc").sort_values("doc", kind="mergesort")
-        if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64),
-                                 "jaccard": pd.Series(dtype=np.float64)})
+    def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "bucket", "doc"], kind="mergesort")
+        g = g.drop_duplicates(["band", "bucket", "doc"])
+        bb = (g["band"].to_numpy() * np.int64(1 << 32)
+              ^ g["bucket"].to_numpy())
         docs = g["doc"].to_numpy()
-        sets = [word_shingles(t.split(), ngram) for t in g["text"]]
-        i, j = np.triu_indices(len(docs), k=1)
-        jac = np.empty(len(i))
-        for t, (x, y) in enumerate(zip(i, j)):
-            inter = np.intersect1d(sets[x], sets[y],
-                                   assume_unique=True).size
-            union = sets[x].size + sets[y].size - inter
-            jac[t] = inter / union if union else 0.0
-        keep = jac >= threshold
-        return pd.DataFrame({"a": docs[i[keep]], "b": docs[j[keep]],
-                             "jaccard": jac[keep]})
+        texts = g["text"].to_numpy(dtype=object)
+        starts, ends = _segment_pairs(bb)
+        seen: set[tuple[int, int]] = set()
+        rows_a, rows_b, rows_j = [], [], []
+        cache: dict[int, np.ndarray] = {}
+
+        def sset(pos: int) -> np.ndarray:
+            if pos not in cache:
+                cache[pos] = word_shingles(texts[pos].split(), ngram)
+            return cache[pos]
+
+        for st, en in zip(starts, ends):
+            if en - st < 2:
+                continue
+            for x in range(st, en):
+                for y in range(x + 1, en):
+                    key = (int(docs[x]), int(docs[y]))
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    sa, sb = sset(x), sset(y)
+                    inter = np.intersect1d(sa, sb,
+                                           assume_unique=True).size
+                    union = sa.size + sb.size - inter
+                    jac = inter / union if union else 0.0
+                    if jac >= threshold:
+                        rows_a.append(key[0])
+                        rows_b.append(key[1])
+                        rows_j.append(jac)
+        if not rows_a:
+            return _empty({"a": np.int64, "b": np.int64,
+                           "jaccard": np.float64})
+        return pd.DataFrame({"a": rows_a, "b": rows_b, "jaccard": rows_j})
 
     cand = ds.select_columns([text_col, id_col]).map_batches(
         sig, batch_format="pyarrow")
-    pairs = cand.groupby(["band", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    # A pair can surface from several bands -> dedup on (a, b).
-    def uniq(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-    return pairs.groupby(["a", "b"]).map_groups(
-        uniq, batch_format="pandas")
+    cand = with_partition(cand, "bucket", num_partitions)
+    pairs = cand.groupby(PART_COL).map_groups(
+        bucket_pairs_part, batch_format="pandas")
+
+    # A pair found in several bands can land in different partitions ->
+    # final exact dedup on the pair key (small shuffle: pairs only).
+    def uniq_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b", "jaccard"]]
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        pk = (batch["a"].to_numpy() * np.int64(1000003)
+              + batch["b"].to_numpy())
+        return batch.append_column("__pk", pa.array(pk))
+
+    pairs = pairs.map_batches(add_pk, batch_format="pyarrow")
+    pairs = with_partition(pairs, "__pk", num_partitions)
+    return pairs.groupby(PART_COL).map_groups(
+        uniq_part, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -191,10 +267,10 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
 # ---------------------------------------------------------------------------
 
 def simhash_pairs(ds, text_col: str, id_col: str,
-                  max_hamming: int = 3):
+                  max_hamming: int = 3, num_partitions: int = 16):
     """Pairs with SimHash hamming distance <= max_hamming. With 4
     16-bit bands, any pair within distance 3 shares at least one exact
-    band (pigeonhole), so candidate generation loses nothing."""
+    band (pigeonhole) — candidate generation loses nothing."""
     BANDS = 4
 
     def sig(batch: pa.Table) -> pa.Table:
@@ -213,24 +289,47 @@ def simhash_pairs(ds, text_col: str, id_col: str,
             "simhash": pa.array(np.tile(sh, BANDS).astype(np.int64)),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc").sort_values("doc", kind="mergesort")
-        empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                              "b": pd.Series(dtype=np.int64),
-                              "hamming": pd.Series(dtype=np.int64)})
-        if len(g) < 2:
-            return empty
+    def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "bucket", "doc"], kind="mergesort")
+        g = g.drop_duplicates(["band", "bucket", "doc"])
+        bb = (g["band"].to_numpy() * np.int64(1 << 32)
+              ^ g["bucket"].to_numpy())
         docs = g["doc"].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
-        i, j = np.triu_indices(len(docs), k=1)
-        ham = hamming64(sh[i], sh[j])
-        keep = ham <= max_hamming
-        return pd.DataFrame({"a": docs[i[keep]], "b": docs[j[keep]],
-                             "hamming": ham[keep].astype(np.int64)})
+        starts, ends = _segment_pairs(bb)
+        out_a, out_b, out_h = [], [], []
+        for st, en in zip(starts, ends):
+            m = en - st
+            if m < 2:
+                continue
+            i, j = np.triu_indices(m, k=1)
+            ham = hamming64(sh[st + i], sh[st + j])
+            keep = ham <= max_hamming
+            out_a.append(docs[st + i[keep]])
+            out_b.append(docs[st + j[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
+            return _empty({"a": np.int64, "b": np.int64,
+                           "hamming": np.int64})
+        return pd.DataFrame({
+            "a": np.concatenate(out_a), "b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h).astype(np.int64)})
 
     cand = ds.select_columns([text_col, id_col]).map_batches(
         sig, batch_format="pyarrow")
-    pairs = cand.groupby(["band", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    cand = with_partition(cand, "bucket", num_partitions)
+    pairs = cand.groupby(PART_COL).map_groups(
+        bucket_pairs_part, batch_format="pandas")
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        pk = (batch["a"].to_numpy() * np.int64(1000003)
+              + batch["b"].to_numpy())
+        return batch.append_column("__pk", pa.array(pk))
+
+    def uniq_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b", "hamming"]]
+
+    pairs = pairs.map_batches(add_pk, batch_format="pyarrow")
+    pairs = with_partition(pairs, "__pk", num_partitions)
+    return pairs.groupby(PART_COL).map_groups(
+        uniq_part, batch_format="pandas")

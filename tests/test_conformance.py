@@ -1,0 +1,68 @@
+"""Operator conformance vs the DuckDB oracle (SURVEY.md §5 item 2).
+
+Mirrors the driver's check: run each registered query's Ray pipeline
+AND its oracle SQL on the same parquet tables, then compare row count,
+column set, and values after sorting columns by name and rows by value.
+"""
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from nuclei_feature_extraction_ray.pipelines.queries import (
+    ORACLE, QUERIES)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def run_oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            "CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet'"
+            % (t, sf_dir, t))
+    return con.execute(sql).df()
+
+
+def to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if hasattr(result, "to_pandas"):
+        return result.to_pandas()
+    raise TypeError(type(result))
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="mergesort") \
+             .reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(name, sf_small):
+    got = canon(to_pandas(QUERIES[name](sf_small)))
+    want = canon(run_oracle(sf_small, ORACLE[name]))
+    assert list(got.columns) == list(want.columns), (
+        got.columns, want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run_and_are_deterministic(name, sf_small):
+    a = to_pandas(QUERIES[name](sf_small))
+    assert len(a) >= 0
+    b = to_pandas(QUERIES[name](sf_small))
+    assert len(a) == len(b)
+    assert sorted(a.columns) == sorted(b.columns)
