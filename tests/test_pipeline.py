@@ -1,0 +1,199 @@
+"""Flagship pipeline end-to-end: golden run, temporal leakage, resume,
+scale invariance (SURVEY.md §5 items 3-6)."""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from nuclei_feature_extraction_ray.corpus import (
+    corpus_dir, generate_pages, generate_probes)
+from nuclei_feature_extraction_ray.pipelines.pages_features import (
+    FEATURE_COLUMNS, compute_features, partition_features, probe_features,
+    run_checkpointed)
+from nuclei_feature_extraction_ray.state.manifest import (
+    committed_parts, read_output, summarize)
+
+
+@pytest.fixture(scope="module")
+def pages_tbl() -> pa.Table:
+    return generate_pages(400)
+
+
+@pytest.fixture(scope="module")
+def feats(pages_tbl) -> pd.DataFrame:
+    ds = rd.from_arrow(pages_tbl.select(["url", "warc_ts", "html", "lang"]))
+    out = compute_features(ds, num_partitions=8, concurrency=2).to_pandas()
+    return out.sort_values(["url", "warc_ts"]).reset_index(drop=True)
+
+
+def test_schema_and_rowcount(pages_tbl, feats):
+    assert list(feats.columns) == FEATURE_COLUMNS
+    p = pages_tbl.to_pandas()
+    expect = p[~p.duplicated(["url", "warc_ts"]) | True]  # all rows
+    p_dedup = p.drop_duplicates(["url", "warc_ts"])
+    n_parseable = p_dedup["text"].notna().sum()
+    assert len(feats) == n_parseable
+
+
+def test_features_match_singleprocess_oracle(pages_tbl, feats):
+    """Golden check: the distributed result equals a single-process
+    pandas recomputation over the whole corpus (order- and
+    partitioning-independent)."""
+    p = pages_tbl.to_pandas()
+    from nuclei_feature_extraction_ray.functions.hashing import hash64
+    p["extracted_text"] = p["text"]
+    p["extract_ok"] = p["text"].notna()
+    p["html_hash"] = hash64(
+        [bytes(h) for h in p["html"]]).astype(np.int64)
+    want = partition_features(
+        p[["url", "warc_ts", "lang", "extracted_text", "extract_ok",
+           "html_hash"]])
+    want = want.sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    got_num = feats.select_dtypes(include=[np.number])
+    want_num = want.select_dtypes(include=[np.number])
+    assert list(got_num.columns) == list(want_num.columns)
+    np.testing.assert_allclose(got_num.to_numpy(np.float64),
+                               want_num.to_numpy(np.float64),
+                               equal_nan=True, atol=0, rtol=0)
+    for c in ("url", "lang", "warc_ts"):
+        assert (feats[c] == want[c]).all()
+
+
+def test_empty_text_gives_nan_not_crash(feats):
+    empty = feats[feats["n_chars"] == 0]
+    assert len(empty) >= 1
+    assert empty["mean_token_len"].isna().all()
+    assert empty["ttr"].isna().all()
+
+
+def test_zero_temporal_leakage(pages_tbl, feats):
+    """Property test: recompute each sampled row's features using ONLY
+    rows with warc_ts <= its own; must match exactly (north_rule)."""
+    from nuclei_feature_extraction_ray.functions.hashing import hash64
+    p = pages_tbl.to_pandas()
+    p["extracted_text"] = p["text"]
+    p["extract_ok"] = p["text"].notna()
+    p["html_hash"] = hash64(
+        [bytes(h) for h in p["html"]]).astype(np.int64)
+    p = p[["url", "warc_ts", "lang", "extracted_text", "extract_ok",
+           "html_hash"]]
+    rng = np.random.default_rng(5)
+    sample = feats.sample(25, random_state=7)
+    num_cols = [c for c in FEATURE_COLUMNS
+                if c not in ("url", "warc_ts", "lang")]
+    for _, row in sample.iterrows():
+        prefix = p[(p["url"] == row["url"])
+                   & (p["warc_ts"] <= row["warc_ts"])]
+        redo = partition_features(prefix.copy())
+        redo = redo[(redo["url"] == row["url"])
+                    & (redo["warc_ts"] == row["warc_ts"])]
+        assert len(redo) == 1
+        got = row[num_cols].to_numpy(np.float64)
+        want = redo.iloc[0][num_cols].to_numpy(np.float64)
+        np.testing.assert_allclose(got, want, equal_nan=True,
+                                   atol=0, rtol=0)
+
+
+def test_scale_invariance_partition_count(pages_tbl, feats):
+    """Same input, different partition count -> identical sorted output
+    (guards order-dependent state bugs)."""
+    ds = rd.from_arrow(pages_tbl.select(["url", "warc_ts", "html", "lang"]))
+    other = compute_features(ds, num_partitions=3, concurrency=2) \
+        .to_pandas().sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(feats, other)
+
+
+def test_asof_probe_features_match_merge_asof(pages_tbl, feats):
+    probes_tbl = generate_probes(pages_tbl, 80)
+    ds = rd.from_arrow(pages_tbl.select(["url", "warc_ts", "html", "lang"]))
+    fds = compute_features(ds, num_partitions=8, concurrency=2)
+    got = probe_features(fds, rd.from_arrow(probes_tbl),
+                         num_partitions=8).to_pandas()
+    got = got.sort_values(["url", "query_ts"]).reset_index(drop=True)
+
+    pr = probes_tbl.to_pandas().sort_values("query_ts")
+    sn = feats.sort_values("warc_ts")
+    want = pd.merge_asof(pr, sn, left_on="query_ts", right_on="warc_ts",
+                         by="url", direction="backward")
+    want = want.sort_values(["url", "query_ts"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    np.testing.assert_allclose(
+        got["n_chars"].to_numpy(np.float64),
+        want["n_chars"].to_numpy(np.float64), equal_nan=True)
+    np.testing.assert_allclose(
+        got["r30_mean"].to_numpy(np.float64),
+        want["r30_mean"].to_numpy(np.float64), equal_nan=True)
+    # unmatched probes (before first snapshot / unknown urls) keep nulls
+    assert got["warc_ts"].isna().sum() == want["warc_ts"].isna().sum() > 0
+
+
+# -- checkpointed sink / resume (SURVEY.md §5 item 5) -----------------------
+
+def _write_corpus(tmp_path, tbl) -> str:
+    import pyarrow.parquet as pq
+    path = os.path.join(tmp_path, "pages.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def test_checkpointed_sink_and_resume(pages_tbl, feats, tmp_path):
+    src = _write_corpus(tmp_path, pages_tbl)
+    out_full = os.path.join(tmp_path, "full")
+    pages = rd.read_parquet(src, columns=["url", "warc_ts", "html", "lang"])
+    man = run_checkpointed(pages, out_full, num_partitions=8,
+                           concurrency=2).to_pandas()
+    assert len(man) == len(committed_parts(out_full))
+    s = summarize(out_full)
+    assert s["rows"] == len(feats)
+    assert s["dropped_rows"] >= 3
+
+    # Simulate a killed run: keep only 3 committed partitions.
+    out_part = os.path.join(tmp_path, "resumed")
+    os.makedirs(out_part)
+    import shutil
+    kept = sorted(committed_parts(out_full))[:3]
+    for pid in kept:
+        shutil.copytree(os.path.join(out_full, "part=%05d" % pid),
+                        os.path.join(out_part, "part=%05d" % pid))
+    before = {pid: os.path.getmtime(
+        os.path.join(out_part, "part=%05d" % pid, "MANIFEST.json"))
+        for pid in kept}
+
+    pages2 = rd.read_parquet(src, columns=["url", "warc_ts", "html", "lang"])
+    man2 = run_checkpointed(pages2, out_part, num_partitions=8,
+                            concurrency=2).to_pandas()
+    # resumed run only processed the missing partitions
+    assert set(man2["partition"]) == set(
+        committed_parts(out_full)) - set(kept)
+    # committed partitions were not recomputed (manifest mtime unchanged)
+    for pid in kept:
+        assert os.path.getmtime(
+            os.path.join(out_part, "part=%05d" % pid,
+                         "MANIFEST.json")) == before[pid]
+
+    # final output identical to the uninterrupted run
+    a = read_output(out_full).to_pandas() \
+        .sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    b = read_output(out_part).to_pandas() \
+        .sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    a2 = a[FEATURE_COLUMNS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a2, feats[FEATURE_COLUMNS].reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_entry_smoke():
+    import importlib
+    import sys
+    sys.path.insert(0, "/root/repo")
+    mod = importlib.import_module("__ray_entry__")
+    ds = mod.entry()
+    df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    assert len(df) > 0
+    assert list(df.columns) == FEATURE_COLUMNS
