@@ -131,14 +131,13 @@ def partition_features(g: pd.DataFrame) -> pd.DataFrame:
 def compute_features(pages_ds, num_partitions: int = 32,
                      concurrency: int = 8):
     """Feature Dataset (no sink) — the flagship transform."""
+    from ..stages.partition import partition_map
+    from ..util import configure_context
+    configure_context()
     ds = extract_stage(pages_ds, concurrency=concurrency)
     ds = with_partition(ds, "url", num_partitions)
-
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        out = partition_features(g.drop(columns=[PART_COL]))
-        return out
-
-    return ds.groupby(PART_COL).map_groups(fn, batch_format="pandas")
+    return partition_map(ds, [PART_COL], partition_features,
+                         num_partitions)
 
 
 def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
@@ -148,6 +147,8 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
     the job's output Dataset is the (tiny) manifest table. On resume,
     committed partitions are filtered out right after partitioning —
     before the shuffle moves their rows."""
+    from ..util import configure_context
+    configure_context()
     done = committed_parts(out_dir) if resume else set()
 
     ds = extract_stage(pages_ds, concurrency=concurrency)
@@ -165,21 +166,35 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
-    def sink(g: pd.DataFrame) -> pd.DataFrame:
-        part = int(g[PART_COL].iloc[0])
-        out = partition_features(g.drop(columns=[PART_COL]))
-        dropped = out.attrs.get("dropped", 0)
-        watermark = (str(out["warc_ts"].max()) if len(out) else None)
-        man = commit_partition(
-            out_dir, part, pa.Table.from_pandas(out, preserve_index=False),
-            key_cols=["url", "warc_ts"], dropped_rows=dropped,
-            extra={"watermark": watermark})
-        return pd.DataFrame([{"partition": np.int64(part),
-                              "rows": np.int64(man["rows"]),
-                              "dropped_rows": np.int64(man["dropped_rows"]),
-                              "key_checksum": man["key_checksum"]}])
+    from ..stages.partition import partition_map
 
-    return ds.groupby(PART_COL).map_groups(sink, batch_format="pandas")
+    def sink(g: pd.DataFrame) -> pd.DataFrame:
+        # One block may hold several (whole) hash partitions; each is
+        # committed independently so resume granularity stays per-part.
+        rows = []
+        for part, gp in g.groupby(PART_COL, sort=True):
+            out = partition_features(gp.drop(columns=[PART_COL]))
+            dropped = out.attrs.get("dropped", 0)
+            watermark = (str(out["warc_ts"].max()) if len(out) else None)
+            man = commit_partition(
+                out_dir, int(part),
+                pa.Table.from_pandas(out, preserve_index=False),
+                key_cols=["url", "warc_ts"], dropped_rows=dropped,
+                extra={"watermark": watermark})
+            rows.append({"partition": np.int64(part),
+                         "rows": np.int64(man["rows"]),
+                         "dropped_rows": np.int64(man["dropped_rows"]),
+                         "key_checksum": man["key_checksum"]})
+        if not rows:
+            return pd.DataFrame({
+                "partition": pd.Series(dtype=np.int64),
+                "rows": pd.Series(dtype=np.int64),
+                "dropped_rows": pd.Series(dtype=np.int64),
+                "key_checksum": pd.Series(dtype=object)})
+        return pd.DataFrame(rows)
+
+    return partition_map(ds, [PART_COL], sink, num_partitions,
+                         drop_part_col=False)
 
 
 def probe_features(features_ds, probes_ds, num_partitions: int = 32,

@@ -36,6 +36,7 @@ from ..stages.multimodal import HEADER_BYTES, DecodeMedia, make_payload
 from ..stages.partition import partitioned_apply
 from ..stages.window import (add_backfill, add_lag_lead, add_rolling_rows,
                              add_session_ids, session_aggregate)
+from ..util import configure_context
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -53,10 +54,19 @@ _EVW = "PARTITION BY user_id ORDER BY ts, event_id"
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(sf_dir: str):
+            # Must run BEFORE any Dataset is created: each Dataset
+            # snapshots the DataContext at creation time.
+            configure_context()
+            return fn(sf_dir)
+
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLE[name] = sql
-        return fn
+        return wrapped
     return deco
 
 

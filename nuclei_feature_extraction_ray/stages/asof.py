@@ -2,10 +2,10 @@
 operator the north_rule adds over the reference (whose only join is a
 key-aligned column concat, ``src/main.rs:76-87``).
 
-Plan: both sides get the SAME ``hash(key) % P`` partition id (stages/
-partition.py), are tagged and unioned, and one ``groupby(part)`` —
-a single co-partitioning shuffle — delivers each partition's probes and
-snapshots to one task, which sorts by ts and runs a C merge pass
+Plan: both sides are tagged and unioned, and ONE hash exchange on the
+entity key (stages/partition.partition_map) delivers each partition's
+probes and snapshots to the same task, which sorts by ts and runs a C
+merge pass
 (``pandas.merge_asof``, backward, allow_exact_matches=True, i.e.
 ``snapshot_ts <= probe_ts``: strict point-in-time, zero leakage).
 Because probe and snapshot of the same entity always hash to the same
@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .partition import PART_COL, with_partition
+from .partition import partition_map
 
 _SIDE = "__side"
 
@@ -35,10 +35,8 @@ def asof_join(probes, snapshots, key: str, probe_ts: str, snap_ts: str,
     probe_cols = [c for c in probes.schema().names]
     snap_keep = [key, snap_ts] + value_cols
 
-    p = with_partition(probes.select_columns(probe_cols),
-                       key, num_partitions)
-    s = with_partition(snapshots.select_columns(snap_keep),
-                       key, num_partitions)
+    p = probes.select_columns(probe_cols)
+    s = snapshots.select_columns(snap_keep)
 
     # Align schemas for union: each side gets the other's columns as null.
     def pad(missing_schema_cols):
@@ -90,4 +88,4 @@ def asof_join(probes, snapshots, key: str, probe_ts: str, snap_ts: str,
             tolerance=tolerance)
         return merged[out_cols]
 
-    return both.groupby(PART_COL).map_groups(merge, batch_format="pandas")
+    return partition_map(both, [key], merge, num_partitions)

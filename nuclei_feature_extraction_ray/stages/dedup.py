@@ -32,7 +32,7 @@ import pyarrow as pa
 from ..functions.hashing import (hash64, hamming64, lsh_band_keys,
                                  minhash_signatures, simhash64,
                                  word_shingles)
-from .partition import PART_COL, with_partition
+from .partition import partition_map
 
 _EMPTY_PAIRS = {"a": np.int64, "b": np.int64}
 
@@ -68,9 +68,8 @@ def exact_dedup(ds, content_col: str, id_col: str,
 
     ds = ds.select_columns([content_col, id_col]) \
            .map_batches(add_hash, batch_format="pyarrow")
-    ds = with_partition(ds, "__h", num_partitions)
-    return ds.groupby(PART_COL).map_groups(
-        dedup_part, batch_format="pandas").select_columns(
+    return partition_map(ds, ["__h"], dedup_part,
+                         num_partitions).select_columns(
         cols + ["n_copies"])
 
 
@@ -158,19 +157,8 @@ def jaccard_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
 
     post = ds.select_columns([text_col, id_col]).map_batches(
         explode, batch_format="pyarrow")
-    post = with_partition(post, "shingle", num_partitions)
-    cand = post.groupby(PART_COL).map_groups(
-        pairs_part, batch_format="pandas")
-
-    def add_pair_key(batch: pa.Table) -> pa.Table:
-        pk = (batch["a"].to_numpy() * np.int64(1000003)
-              + batch["b"].to_numpy())
-        return batch.append_column("__pk", pa.array(pk))
-
-    cand = cand.map_batches(add_pair_key, batch_format="pyarrow")
-    cand = with_partition(cand, "__pk", num_partitions)
-    return cand.groupby(PART_COL).map_groups(
-        score_part, batch_format="pandas")
+    cand = partition_map(post, ["shingle"], pairs_part, num_partitions)
+    return partition_map(cand, ["a", "b"], score_part, num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -242,24 +230,15 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
 
     cand = ds.select_columns([text_col, id_col]).map_batches(
         sig, batch_format="pyarrow")
-    cand = with_partition(cand, "bucket", num_partitions)
-    pairs = cand.groupby(PART_COL).map_groups(
-        bucket_pairs_part, batch_format="pandas")
+    pairs = partition_map(cand, ["bucket"], bucket_pairs_part,
+                          num_partitions)
 
     # A pair found in several bands can land in different partitions ->
     # final exact dedup on the pair key (small shuffle: pairs only).
     def uniq_part(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["a", "b"])[["a", "b", "jaccard"]]
 
-    def add_pk(batch: pa.Table) -> pa.Table:
-        pk = (batch["a"].to_numpy() * np.int64(1000003)
-              + batch["b"].to_numpy())
-        return batch.append_column("__pk", pa.array(pk))
-
-    pairs = pairs.map_batches(add_pk, batch_format="pyarrow")
-    pairs = with_partition(pairs, "__pk", num_partitions)
-    return pairs.groupby(PART_COL).map_groups(
-        uniq_part, batch_format="pandas")
+    return partition_map(pairs, ["a", "b"], uniq_part, num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -317,19 +296,10 @@ def simhash_pairs(ds, text_col: str, id_col: str,
 
     cand = ds.select_columns([text_col, id_col]).map_batches(
         sig, batch_format="pyarrow")
-    cand = with_partition(cand, "bucket", num_partitions)
-    pairs = cand.groupby(PART_COL).map_groups(
-        bucket_pairs_part, batch_format="pandas")
-
-    def add_pk(batch: pa.Table) -> pa.Table:
-        pk = (batch["a"].to_numpy() * np.int64(1000003)
-              + batch["b"].to_numpy())
-        return batch.append_column("__pk", pa.array(pk))
+    pairs = partition_map(cand, ["bucket"], bucket_pairs_part,
+                          num_partitions)
 
     def uniq_part(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["a", "b"])[["a", "b", "hamming"]]
 
-    pairs = pairs.map_batches(add_pk, batch_format="pyarrow")
-    pairs = with_partition(pairs, "__pk", num_partitions)
-    return pairs.groupby(PART_COL).map_groups(
-        uniq_part, batch_format="pandas")
+    return partition_map(pairs, ["a", "b"], uniq_part, num_partitions)

@@ -76,29 +76,97 @@ def salted_partition(ds, key_col: str, num_partitions: int,
     return ds.map_batches(AddSalted, batch_format="pyarrow", concurrency=2)
 
 
-def partitioned_apply(ds, key_col: str, fn, num_partitions: int,
-                      sort_cols: list[str] | None = None,
-                      part_col: str = PART_COL, **map_groups_kwargs):
-    """THE wide primitive: hash-partition by entity key, then run ``fn``
-    once per partition over the partition's full pandas frame, sorted by
-    ``sort_cols``.
+def _sync_ds_context(ds, global_ctx):
+    """Every Dataset snapshots its DataContext at creation, so a caller
+    may hold one built before our context setup ran — patch the captured
+    context to match the process-global one."""
+    try:
+        ds_ctx = ds.context
+    except AttributeError:
+        return
+    for attr in ("shuffle_strategy", "max_hash_shuffle_aggregators",
+                 "hash_shuffle_operator_actor_num_cpus_per_partition_override",
+                 "hash_aggregate_operator_actor_num_cpus_per_partition_"
+                 "override"):
+        if hasattr(global_ctx, attr):
+            setattr(ds_ctx, attr, getattr(global_ctx, attr))
 
-    Each "group" handed to Ray's ``groupby().map_groups`` is a whole
-    hash partition containing MANY entities, so there are only P Python
-    calls and ``fn`` can vectorize across entities (pandas groupby is C).
-    This is how the graft realizes "range-partition by url-hash +
-    per-partition sort" (north_rule) on Ray Data: the groupby is the one
-    all-to-all shuffle; everything downstream is partition-local.
+
+def keyed_repartition(ds, keys: list[str], num_partitions: int):
+    """Hash-exchange so all rows sharing ``keys`` land in ONE block.
+    Requires hash-shuffle mode (see util.configure_context)."""
+    from ..util import configure_context
+    _sync_ds_context(ds, configure_context())
+    return ds.repartition(num_blocks=num_partitions, keys=keys,
+                          sort=False)
+
+
+def partition_map(ds, keys: list[str], fn, num_partitions: int,
+                  sort_cols: list[str] | None = None,
+                  drop_part_col: bool = True):
+    """Co-locate all rows sharing ``keys`` and run ``fn`` once per
+    partition over a pandas frame of MANY whole key-groups.
+
+    Two physical plans, same semantics:
+    * hash-shuffle (>= 8 CPUs): ``repartition(keys=...)`` + one
+      ``map_batches`` call per block — the fast path;
+    * sort-shuffle fallback (tiny clusters, where the hash operator's
+      aggregator actors would starve the pipeline): derive a coarse
+      ``hash(keys) % P`` column and ``groupby(part).map_groups`` — P
+      Python calls, never one per fine key value.
     """
-    ds = with_partition(ds, key_col, num_partitions, part_col)
+    from ray.data.context import ShuffleStrategy
+
+    from ..util import configure_context
+    global_ctx = configure_context()
+    _sync_ds_context(ds, global_ctx)
 
     def apply(g: pd.DataFrame) -> pd.DataFrame:
+        if drop_part_col and PART_COL in g.columns and \
+                PART_COL not in keys:
+            g = g.drop(columns=[PART_COL])
         if sort_cols:
             g = g.sort_values(sort_cols, kind="mergesort")
-        out = fn(g)
-        if part_col in out.columns:
-            out = out.drop(columns=[part_col])
-        return out
+        return fn(g)
 
-    return ds.groupby(part_col).map_groups(
-        apply, batch_format="pandas", **map_groups_kwargs)
+    if global_ctx.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE:
+        ds = ds.repartition(num_blocks=num_partitions, keys=keys,
+                            sort=False)
+        return ds.map_batches(apply, batch_format="pandas",
+                              batch_size=None)
+
+    # sort-shuffle fallback: coarse partition column (P groups -> P
+    # Python calls; never one per fine key value)
+    if keys == [PART_COL]:
+        return ds.groupby(PART_COL).map_groups(
+            apply, batch_format="pandas")
+
+    def add(batch: pa.Table) -> pa.Table:
+        h = None
+        with np.errstate(over="ignore"):
+            for k in keys:
+                kv = batch[k].to_numpy(zero_copy_only=False)
+                hk = (kv.astype(np.uint64)
+                      * np.uint64(0x9E3779B97F4A7C15)
+                      if kv.dtype.kind in "iu" else hash64(kv))
+                h = hk if h is None else h * np.uint64(1000003) + hk
+        part = (h % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column(PART_COL, pa.array(part))
+
+    ds = ds.map_batches(add, batch_format="pyarrow")
+    return ds.groupby(PART_COL).map_groups(apply, batch_format="pandas")
+
+
+def partitioned_apply(ds, key_col: str, fn, num_partitions: int,
+                      sort_cols: list[str] | None = None):
+    """THE wide primitive: hash-partition by entity key, then run ``fn``
+    once per PARTITION (not per entity) over the partition's full pandas
+    frame, sorted by ``sort_cols`` — many whole entities per call, so
+    ``fn`` vectorizes across them (pandas groupby is C).
+
+    This realizes "range-partition by url-hash + per-partition sort"
+    (north_rule) on Ray Data: the exchange in ``partition_map`` is the
+    one all-to-all shuffle; everything downstream is partition-local.
+    """
+    return partition_map(ds, [key_col], fn, num_partitions,
+                         sort_cols=sort_cols)

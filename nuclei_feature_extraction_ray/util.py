@@ -1,8 +1,17 @@
-"""Small runtime utilities."""
+"""Small runtime utilities (no ray.init anywhere)."""
 
 from __future__ import annotations
 
 import ray
+
+
+def _cpus(default: int = 8) -> int:
+    if not ray.is_initialized():
+        return default
+    try:
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        return default
 
 
 def pool_size(frac: float = 0.5, cap: int = 16, floor: int = 1) -> int:
@@ -11,8 +20,31 @@ def pool_size(frac: float = 0.5, cap: int = 16, floor: int = 1) -> int:
     the whole cluster starves the other operators and can deadlock the
     streaming executor (observed: pool=4 on a 4-CPU local cluster).
     """
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return max(floor, min(cap, int(cpus * frac)))
+    return max(floor, min(cap, int(_cpus() * frac)))
+
+
+def configure_context():
+    """Engine-wide Ray Data settings: hash-based shuffle (required for
+    key-based repartition; measured ~1.6x faster than the sort shuffle
+    for our partition exchanges) with a bounded aggregator-actor pool —
+    the default pool (one actor per partition) costs ~45 s of actor
+    startup on first use in a fresh session.
+
+    Idempotent; called by the wide stages. Never calls ray.init.
+    """
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+    ctx = DataContext.get_current()
+    cpus = _cpus()
+    if cpus >= 8:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        ctx.max_hash_shuffle_aggregators = max(2, min(8, cpus // 4))
+        # Aggregator actors must not reserve whole CPUs, or they starve
+        # the map/actor-pool stages of the same pipeline on small
+        # clusters (observed deadlock at 4 CPUs).
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = \
+            0.05
+    else:
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+    return ctx
