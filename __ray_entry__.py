@@ -26,7 +26,7 @@ def entry() -> Any:
         compute_features)
 
     d = corpus_dir("t1")
-    pages = rd.read_parquet(os.path.join(d, "pages.parquet"),
+    pages = rd.read_parquet(os.path.join(d, "pages"),
                             columns=["url", "warc_ts", "html", "lang"])
     return compute_features(pages, num_partitions=8, concurrency=2)
 

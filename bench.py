@@ -27,6 +27,7 @@ import tempfile
 import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_SCALE = os.environ.get("BENCH_SCALE", "bench")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 HEADLINE_ONLY = os.environ.get("BENCH_HEADLINE_ONLY") == "1"
 
@@ -56,7 +57,7 @@ def consume(res) -> int:
     return res.num_rows                        # pyarrow.Table
 
 
-def run_headline(num_partitions: int = 64) -> dict:
+def run_headline(num_partitions: int = 32) -> dict:
     import ray.data as rd
 
     from nuclei_feature_extraction_ray.corpus import corpus_dir
@@ -65,16 +66,24 @@ def run_headline(num_partitions: int = 64) -> dict:
     from nuclei_feature_extraction_ray.state.manifest import (
         read_output, summarize)
 
-    cdir = corpus_dir("bench")
-    pages_path = os.path.join(cdir, "pages.parquet")
+    cdir = corpus_dir(BENCH_SCALE)
+    pages_path = os.path.join(cdir, "pages")
     probes_path = os.path.join(cdir, "probes.parquet")
     # Warm the OS page cache so we measure compute + shuffle, not the
     # first cold read.
-    with open(pages_path, "rb") as f:
-        while f.read(1 << 24):
-            pass
     import pyarrow.parquet as pq
-    n_pages = pq.ParquetFile(pages_path).metadata.num_rows
+    n_pages = 0
+    for name in sorted(os.listdir(pages_path)):
+        fp = os.path.join(pages_path, name)
+        with open(fp, "rb") as f:
+            while f.read(1 << 24):
+                pass
+        n_pages += pq.ParquetFile(fp).metadata.num_rows
+
+    # Warm the Ray worker-process pool so the timer measures the
+    # pipeline, not cluster boot (worker spawn is ~seconds).
+    rd.range(2048, override_num_blocks=64).map_batches(
+        lambda b: b, batch_format="pyarrow").count()
 
     out_root = tempfile.mkdtemp(prefix="nfx_bench_")
     feat_dir = os.path.join(out_root, "features")
@@ -118,7 +127,7 @@ def run_queries() -> dict:
 def main() -> None:
     # Corpus generation happens (cached) before the Ray session/timer.
     from nuclei_feature_extraction_ray.corpus import corpus_dir
-    corpus_dir("bench")
+    corpus_dir(BENCH_SCALE)
 
     import ray
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
@@ -150,7 +159,8 @@ def main() -> None:
 def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BENCH_HEADLINE_ONLY="1")
+                   BENCH_HEADLINE_ONLY="1",
+                   BENCH_SCALE=os.environ.get("BENCH_SCALE", "scaling"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(

@@ -262,23 +262,29 @@ def generate_probes(pages: pa.Table, n_probes: int,
 # On-disk cache (atomic; safe for concurrent bench processes)
 # ---------------------------------------------------------------------------
 
-SCALES = {"t1": 500, "t2": 50_000, "bench": 200_000}
+SCALES = {"t1": 500, "t2": 50_000, "bench": 200_000,
+          "scaling": 600_000}
 
 
 def corpus_dir(scale: str, root: str = "/tmp/nfx_corpus") -> str:
     """Generate-and-cache the corpus for a named scale; returns its dir
-    containing pages.parquet and probes.parquet."""
+    containing a sharded ``pages/`` parquet directory (so a Ray read
+    parallelizes — one file reads as one task) plus probes.parquet."""
     n = SCALES[scale] if scale in SCALES else int(scale)
-    d = os.path.join(root, "%s-%d-%d" % (scale, n, SEED))
+    d = os.path.join(root, "%s-%d-%d-v2" % (scale, n, SEED))
     if os.path.isdir(d):
         return d
     pages = generate_pages(n)
     probes = generate_probes(pages, max(50, n // 5))
     os.makedirs(root, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=root)
-    # Multiple row groups so read_parquet can parallelize the scan.
-    pq.write_table(pages, os.path.join(tmp, "pages.parquet"),
-                   row_group_size=max(1024, len(pages) // 32))
+    shards = min(32, max(1, len(pages) // 2000))
+    os.makedirs(os.path.join(tmp, "pages"))
+    step = (len(pages) + shards - 1) // shards
+    for i in range(shards):
+        pq.write_table(pages.slice(i * step, step),
+                       os.path.join(tmp, "pages",
+                                    "part-%03d.parquet" % i))
     pq.write_table(probes, os.path.join(tmp, "probes.parquet"))
     try:
         os.rename(tmp, d)

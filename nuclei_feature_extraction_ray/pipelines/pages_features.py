@@ -69,12 +69,25 @@ def extract_stage(pages_ds, concurrency: int | None = None,
             "html_hash", pa.array(hh.astype(np.int64)))
         return batch.drop_columns(["html"])
 
-    return ds.map_batches(slim, batch_format="pyarrow")
+    ds = ds.map_batches(slim, batch_format="pyarrow")
+    return ds.map_batches(add_text_stats, batch_format="pandas")
+
+
+def add_text_stats(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-row stat kernels (stateless). Run BEFORE the shuffle so the
+    exchange moves ~25 numeric columns instead of kilobyte text bodies
+    — the windowed operators never need the text itself."""
+    feats = text_stats_frame(g["extracted_text"])
+    g = g.drop(columns=["extracted_text"])
+    return pd.concat([g, feats], axis=1)
 
 
 def partition_features(g: pd.DataFrame) -> pd.DataFrame:
     """One hash partition (many urls) -> feature rows. ``g`` carries
-    (url, warc_ts, lang, extracted_text, extract_ok, html_hash)."""
+    (url, warc_ts, lang, extract_ok, html_hash) + STAT_COLUMNS (or raw
+    ``extracted_text``, computed here for single-process callers)."""
+    if "extracted_text" in g.columns:
+        g = add_text_stats(g)
     g = g.sort_values(["url", "warc_ts", "html_hash"], kind="mergesort")
     # Exact dedup on (url, warc_ts): deterministic winner = min html_hash.
     g = g.drop_duplicates(["url", "warc_ts"], keep="first")
@@ -85,9 +98,8 @@ def partition_features(g: pd.DataFrame) -> pd.DataFrame:
         out.attrs["dropped"] = dropped
         return out
 
-    feats = text_stats_frame(g["extracted_text"])
     out = pd.concat(
-        [g[["url", "warc_ts", "lang"]], feats], axis=1)
+        [g[["url", "warc_ts", "lang"]], g[STAT_COLUMNS]], axis=1)
 
     codes = segment_codes(out["url"].to_numpy())
     gb = out.groupby("url", sort=False)
@@ -129,7 +141,7 @@ def partition_features(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def compute_features(pages_ds, num_partitions: int = 32,
-                     concurrency: int = 8):
+                     concurrency: int | None = None):
     """Feature Dataset (no sink) — the flagship transform."""
     from ..stages.partition import partition_map
     from ..util import configure_context
@@ -141,7 +153,8 @@ def compute_features(pages_ds, num_partitions: int = 32,
 
 
 def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
-                     resume: bool = True, concurrency: int = 8):
+                     resume: bool = True,
+                     concurrency: int | None = None):
     """Flagship with the checkpointed sink: each partition commits its
     Parquet + lineage manifest atomically inside the partition task;
     the job's output Dataset is the (tiny) manifest table. On resume,

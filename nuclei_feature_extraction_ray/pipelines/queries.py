@@ -703,7 +703,7 @@ def pages_features(sf_dir: str):
     from ..corpus import corpus_dir
     from .pages_features import compute_features
     d = corpus_dir(_corpus_scale(sf_dir))
-    pages = rd.read_parquet(os.path.join(d, "pages.parquet"),
+    pages = rd.read_parquet(os.path.join(d, "pages"),
                             columns=["url", "warc_ts", "html", "lang"])
     return compute_features(pages, num_partitions=16, concurrency=2)
 
@@ -713,7 +713,7 @@ def pages_probe_features(sf_dir: str):
     from ..corpus import corpus_dir
     from .pages_features import compute_features, probe_features
     d = corpus_dir(_corpus_scale(sf_dir))
-    pages = rd.read_parquet(os.path.join(d, "pages.parquet"),
+    pages = rd.read_parquet(os.path.join(d, "pages"),
                             columns=["url", "warc_ts", "html", "lang"])
     probes = rd.read_parquet(os.path.join(d, "probes.parquet"))
     feats = compute_features(pages, num_partitions=16, concurrency=2)
@@ -724,7 +724,7 @@ def pages_probe_features(sf_dir: str):
 def pages_sessions(sf_dir: str):
     from ..corpus import corpus_dir
     d = corpus_dir(_corpus_scale(sf_dir))
-    pages = rd.read_parquet(os.path.join(d, "pages.parquet"),
+    pages = rd.read_parquet(os.path.join(d, "pages"),
                             columns=["url", "warc_ts"])
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:

@@ -38,7 +38,7 @@ def configure_context():
     cpus = _cpus()
     if cpus >= 8:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        ctx.max_hash_shuffle_aggregators = max(2, min(8, cpus // 4))
+        ctx.max_hash_shuffle_aggregators = max(2, min(16, cpus // 2))
         # Aggregator actors must not reserve whole CPUs, or they starve
         # the map/actor-pool stages of the same pipeline on small
         # clusters (observed deadlock at 4 CPUs).

@@ -80,5 +80,5 @@ def test_corpus_dir_cached(tmp_path):
     d2 = corpus_dir("t1", root=str(tmp_path))
     assert d1 == d2
     import os
-    assert os.path.exists(os.path.join(d1, "pages.parquet"))
+    assert os.path.isdir(os.path.join(d1, "pages"))
     assert os.path.exists(os.path.join(d1, "probes.parquet"))
