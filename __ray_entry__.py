@@ -28,7 +28,7 @@ def entry() -> Any:
     d = corpus_dir("t1")
     pages = rd.read_parquet(os.path.join(d, "pages"),
                             columns=["url", "warc_ts", "html", "lang"])
-    return compute_features(pages, num_partitions=8, concurrency=2)
+    return compute_features(pages, num_partitions=8)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -92,6 +92,10 @@ def run_headline(num_partitions: int = 32) -> dict:
         t0 = time.perf_counter()
         pages = rd.read_parquet(pages_path,
                                 columns=["url", "warc_ts", "html", "lang"])
+        # Two phases: features job (checkpointed), then the as-of
+        # probe join over the committed checkpoint. (A fused
+        # emit="features" single job was measured SLOWER: two chained
+        # hash shuffles compete for the same aggregator pool.)
         run_checkpointed(pages, feat_dir, num_partitions=num_partitions,
                          resume=False).materialize()
         feats = read_output(feat_dir)
@@ -168,7 +172,11 @@ def scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
+    # min-of-N per level: absorbs OS page-cache / disk-write noise,
+    # which otherwise dominates run-to-run variance on this box.
+    r_lo = min((run(lo) for _ in range(repeats)), key=lambda r: r["value"])
+    r_hi = min((run(hi) for _ in range(repeats)), key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
@@ -177,6 +185,7 @@ def scaling() -> None:
         "pages_per_sec_%d" % lo: r_lo["pages_per_sec"],
         "pages_per_sec_%d" % hi: r_hi["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "repeats": repeats,
     }))
 
 

@@ -55,13 +55,31 @@ FEATURE_COLUMNS = (
 )
 
 
+#: Module-level extractor: regexes compile once per worker process at
+#: import. An actor POOL here was measured to HURT: pool actors hold
+#: their CPU reservation while idle, starving the downstream stat
+#: kernels (37% cluster utilization). A plain function fuses with the
+#: read and stats into one elastic task chain. Use an actor pool only
+#: for genuinely heavy per-worker state (models, indexes) — see
+#: stages/multimodal.DecodeMedia for that pattern.
+_EXTRACTOR = ExtractText()
+
+
 def extract_stage(pages_ds, concurrency: int | None = None,
                   batch_size: int = 256):
-    """html -> extracted_text (+ok flag, +html_hash); html dropped."""
-    from ..util import pool_size
-    ds = pages_ds.map_batches(
-        ExtractText, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or pool_size())
+    """html -> extracted_text (+ok flag, +html_hash); html dropped.
+
+    ``concurrency``: None (default) = elastic task pool; an int opts
+    into an actor pool of that size.
+    """
+    if concurrency:
+        ds = pages_ds.map_batches(
+            ExtractText, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency)
+    else:
+        ds = pages_ds.map_batches(
+            lambda b: _EXTRACTOR(b), batch_format="pyarrow",
+            batch_size=batch_size)
 
     def slim(batch: pa.Table) -> pa.Table:
         hh = hash64(batch["html"].to_numpy(zero_copy_only=False))
@@ -154,12 +172,20 @@ def compute_features(pages_ds, num_partitions: int = 32,
 
 def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
                      resume: bool = True,
-                     concurrency: int | None = None):
+                     concurrency: int | None = None,
+                     emit: str = "manifest"):
     """Flagship with the checkpointed sink: each partition commits its
     Parquet + lineage manifest atomically inside the partition task;
     the job's output Dataset is the (tiny) manifest table. On resume,
     committed partitions are filtered out right after partitioning —
-    before the shuffle moves their rows."""
+    before the shuffle moves their rows.
+
+    ``emit="features"`` makes the sink ALSO stream the committed
+    feature rows downstream, so a consumer (e.g. the as-of probe join)
+    overlaps with feature computation instead of re-reading the
+    checkpoint after a barrier. NOTE: under resume, already-committed
+    partitions are skipped and thus not re-emitted — use
+    ``state.manifest.read_output`` for the complete table."""
     from ..util import configure_context
     configure_context()
     done = committed_parts(out_dir) if resume else set()
@@ -185,6 +211,7 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
         # One block may hold several (whole) hash partitions; each is
         # committed independently so resume granularity stays per-part.
         rows = []
+        feats = []
         for part, gp in g.groupby(PART_COL, sort=True):
             out = partition_features(gp.drop(columns=[PART_COL]))
             dropped = out.attrs.get("dropped", 0)
@@ -198,6 +225,12 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
                          "rows": np.int64(man["rows"]),
                          "dropped_rows": np.int64(man["dropped_rows"]),
                          "key_checksum": man["key_checksum"]})
+            if emit == "features":
+                feats.append(out)
+        if emit == "features":
+            if not feats:
+                return pd.DataFrame({c: [] for c in FEATURE_COLUMNS})
+            return pd.concat(feats, ignore_index=True)
         if not rows:
             return pd.DataFrame({
                 "partition": pd.Series(dtype=np.int64),

@@ -705,7 +705,7 @@ def pages_features(sf_dir: str):
     d = corpus_dir(_corpus_scale(sf_dir))
     pages = rd.read_parquet(os.path.join(d, "pages"),
                             columns=["url", "warc_ts", "html", "lang"])
-    return compute_features(pages, num_partitions=16, concurrency=2)
+    return compute_features(pages, num_partitions=16)
 
 
 @register("pages_probe_features")
@@ -716,7 +716,7 @@ def pages_probe_features(sf_dir: str):
     pages = rd.read_parquet(os.path.join(d, "pages"),
                             columns=["url", "warc_ts", "html", "lang"])
     probes = rd.read_parquet(os.path.join(d, "probes.parquet"))
-    feats = compute_features(pages, num_partitions=16, concurrency=2)
+    feats = compute_features(pages, num_partitions=16)
     return probe_features(feats, probes, num_partitions=16)
 
 
