@@ -557,14 +557,34 @@ def top_spenders(sf_dir: str):
         return batch.groupby("o_custkey", as_index=False).agg(
             cents=("cents", "sum"))
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
-            .groupby("o_custkey").aggregate(
-                Sum("cents", alias_name="total_cents"))
-    top = agg.sort(["total_cents", "o_custkey"],
-                   descending=[True, False]).limit(10)
-    return top.map_batches(
-        lambda b: b.astype({"total_cents": np.int64}),
-        batch_format="pandas").select_columns(["o_custkey", "total_cents"])
+    from ..stages.partition import partition_map
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_custkey", as_index=False).agg(
+            total_cents=("cents", "sum"))
+        return out
+
+    # High-cardinality grouped sum via partition_map (Ray's aggregate
+    # operator was measured ~20s on 15k groups; one hash exchange +
+    # vectorized pandas combine is ~2s).
+    agg = partition_map(ds.map_batches(partial, batch_format="pandas"),
+                        ["o_custkey"], combine, 16)
+
+    # Scalable top-k: per-block partial top-10, tiny driver-side merge
+    # (a global Dataset.sort of the whole aggregate was measured ~30s
+    # for 10 output rows).
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["total_cents", "o_custkey"],
+                          ascending=[False, True], kind="mergesort")
+        return b.head(10)
+
+    parts = agg.map_batches(block_topk,
+                            batch_format="pandas").to_pandas()
+    top = parts.sort_values(["total_cents", "o_custkey"],
+                            ascending=[False, True],
+                            kind="mergesort").head(10)
+    top["total_cents"] = top["total_cents"].astype(np.int64)
+    return top[["o_custkey", "total_cents"]].reset_index(drop=True)
 
 
 @register("region_orders", sql="""

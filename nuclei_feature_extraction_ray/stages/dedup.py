@@ -81,11 +81,20 @@ def _tokenize(texts: pd.Series) -> list[list[str]]:
     return [t.split() if isinstance(t, str) else [] for t in texts]
 
 
-def _segment_pairs(sorted_group_keys: np.ndarray):
-    """For an array sorted by group key, yield (start, end) per group."""
-    _, starts = np.unique(sorted_group_keys, return_index=True)
-    ends = np.append(starts[1:], len(sorted_group_keys))
-    return starts, ends
+def _segment_pairs(grouped_keys: np.ndarray):
+    """(start, end) run boundaries for an array whose equal keys are
+    CONTIGUOUS (grouped by a sort) but not necessarily globally
+    monotonic — np.unique's first-occurrence indices would interleave
+    runs for non-monotonic keys (e.g. band<<32 ^ bucket) and fabricate
+    giant bogus segments."""
+    n = len(grouped_keys)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.empty(n, bool)
+    change[0] = True
+    change[1:] = grouped_keys[1:] != grouped_keys[:-1]
+    starts = np.nonzero(change)[0]
+    return starts, np.append(starts[1:], n)
 
 
 def jaccard_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
