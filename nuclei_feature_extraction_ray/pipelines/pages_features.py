@@ -37,8 +37,6 @@ from ..functions.text_extract import ExtractText
 from ..functions.text_stats import STAT_COLUMNS, text_stats_frame
 from ..stages.partition import PART_COL, with_partition
 from ..stages.asof import asof_join
-from ..stages.window import (add_rolling_time, add_session_ids,
-                             segment_codes)
 from ..state.manifest import commit_partition, committed_parts
 
 SESSION_GAP = pd.Timedelta(days=30)
@@ -100,10 +98,20 @@ def add_text_stats(g: pd.DataFrame) -> pd.DataFrame:
     return pd.concat([g, feats], axis=1)
 
 
-def partition_features(g: pd.DataFrame) -> pd.DataFrame:
+def partition_features(g: pd.DataFrame,
+                       families: list[str] | None = None) -> pd.DataFrame:
     """One hash partition (many urls) -> feature rows. ``g`` carries
     (url, warc_ts, lang, extract_ok, html_hash) + STAT_COLUMNS (or raw
-    ``extracted_text``, computed here for single-process callers)."""
+    ``extracted_text``, computed here for single-process callers).
+
+    ``families`` selects feature families (config.FAMILIES with alias
+    expansion); selected families are computed over the sorted frame
+    and column-concatenated in one pass — the reference's per-batch
+    hstack of FeatureSets (src/main.rs:76-87)."""
+    from ..config import expand_families, feature_schema
+    fams = expand_families(families or ["all"])
+    out_cols = feature_schema(families or ["all"])
+
     if "extracted_text" in g.columns:
         g = add_text_stats(g)
     g = g.sort_values(["url", "warc_ts", "html_hash"], kind="mergesort")
@@ -112,68 +120,37 @@ def partition_features(g: pd.DataFrame) -> pd.DataFrame:
     dropped = int((~g["extract_ok"]).sum())
     g = g[g["extract_ok"]].reset_index(drop=True)
     if len(g) == 0:
-        out = pd.DataFrame({c: [] for c in FEATURE_COLUMNS})
+        out = pd.DataFrame({c: [] for c in out_cols})
         out.attrs["dropped"] = dropped
         return out
 
-    out = pd.concat(
-        [g[["url", "warc_ts", "lang"]], g[STAT_COLUMNS]], axis=1)
-
-    codes = segment_codes(out["url"].to_numpy())
-    gb = out.groupby("url", sort=False)
-    out["snap_idx"] = gb.cumcount().astype(np.int64)
-    prev_ts = gb["warc_ts"].shift(1)
-    out["gap_sec"] = (out["warc_ts"] - prev_ts).dt.total_seconds()
-    out["delta_n_chars"] = (out["n_chars"] -
-                            gb["n_chars"].shift(1)).astype(np.float64)
-    first_ts = gb["warc_ts"].transform("min")
-    out["days_since_first"] = (
-        (out["warc_ts"] - first_ts).dt.total_seconds() / 86400.0)
-
-    out = add_rolling_time(out, "url", "warc_ts", "n_chars",
-                           ROLLING_SPAN, "r30_")
-    out = add_session_ids(out, "url", "warc_ts",
-                          SESSION_GAP.total_seconds())
-
-    prev_lang = gb["lang"].shift(1)
-    out["lang_changed"] = (
-        prev_lang.notna() & (out["lang"] != prev_lang)).astype(np.int64)
-    # Fraction of the trailing K snapshots (incl. current) in the
-    # CURRENT row's language — "language stability" (north_star).
-    same = np.zeros(len(out), np.float64)
-    avail = np.zeros(len(out), np.float64)
-    lang_arr = out["lang"].to_numpy()
-    idx = np.arange(len(out))
-    from ..stages.window import segment_starts
-    seg_start = segment_starts(codes)
-    for j in range(LANG_STAB_K):
-        back = idx - j
-        ok = back >= seg_start
-        same += ok & (lang_arr[np.maximum(back, 0)] == lang_arr)
-        avail += ok
-    out["lang_stab_5"] = same / avail
-
-    out = out[FEATURE_COLUMNS]
+    parts = [g[["url", "warc_ts", "lang"]]]
+    parts.extend(fam.compute(g) for fam in fams)
+    out = pd.concat(parts, axis=1)[out_cols]
     out.attrs["dropped"] = dropped
     return out
 
 
 def compute_features(pages_ds, num_partitions: int = 32,
-                     concurrency: int | None = None):
+                     concurrency: int | None = None,
+                     families: list[str] | None = None):
     """Feature Dataset (no sink) — the flagship transform."""
     from ..stages.partition import partition_map
     from ..util import configure_context
     configure_context()
     ds = extract_stage(pages_ds, concurrency=concurrency)
     ds = with_partition(ds, "url", num_partitions)
-    return partition_map(ds, [PART_COL], partition_features,
-                         num_partitions)
+    return partition_map(
+        ds, [PART_COL],
+        lambda g: partition_features(g, families=families),
+        num_partitions)
 
 
 def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
                      resume: bool = True,
                      concurrency: int | None = None,
-                     emit: str = "manifest"):
+                     emit: str = "manifest",
+                     families: list[str] | None = None):
     """Flagship with the checkpointed sink: each partition commits its
     Parquet + lineage manifest atomically inside the partition task;
     the job's output Dataset is the (tiny) manifest table. On resume,
@@ -213,7 +190,8 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
         rows = []
         feats = []
         for part, gp in g.groupby(PART_COL, sort=True):
-            out = partition_features(gp.drop(columns=[PART_COL]))
+            out = partition_features(gp.drop(columns=[PART_COL]),
+                                     families=families)
             dropped = out.attrs.get("dropped", 0)
             watermark = (str(out["warc_ts"].max()) if len(out) else None)
             man = commit_partition(
@@ -229,7 +207,9 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
                 feats.append(out)
         if emit == "features":
             if not feats:
-                return pd.DataFrame({c: [] for c in FEATURE_COLUMNS})
+                from ..config import feature_schema
+                return pd.DataFrame(
+                    {c: [] for c in feature_schema(families or ["all"])})
             return pd.concat(feats, ignore_index=True)
         if not rows:
             return pd.DataFrame({

@@ -1,0 +1,106 @@
+"""Dedup family + ANN: planted near-dups, LSH recall, regression for
+the grouped-keys segment bug."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from nuclei_feature_extraction_ray.stages.ann import (ann_bruteforce,
+                                                      ann_lsh)
+from nuclei_feature_extraction_ray.stages.dedup import (_segment_pairs,
+                                                        exact_dedup,
+                                                        jaccard_pairs,
+                                                        minhash_lsh_pairs,
+                                                        simhash_pairs)
+
+
+def _docs_with_near_dups():
+    rng = np.random.default_rng(9)
+    vocab = ["w%02d" % i for i in range(60)]
+    texts, ids = [], []
+    for i in range(40):
+        texts.append(" ".join(rng.choice(vocab, 50)))
+        ids.append(i)
+    # planted near-dups: copy with one word changed
+    for j, src in enumerate([0, 5, 10]):
+        words = texts[src].split()
+        words[3] = "CHANGED%d" % j
+        texts.append(" ".join(words))
+        ids.append(100 + j)
+    # exact dup
+    texts.append(texts[1])
+    ids.append(200)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_segment_pairs_nonmonotonic_grouped_keys():
+    """Regression: np.unique-based boundaries fabricated giant bogus
+    segments for grouped-but-unsorted keys (quadratic blowup)."""
+    keys = np.array([5, 5, 2, 2, 2, 9])   # grouped, not sorted
+    starts, ends = _segment_pairs(keys)
+    assert starts.tolist() == [0, 2, 5]
+    assert ends.tolist() == [2, 5, 6]
+    assert _segment_pairs(np.empty(0, np.int64))[0].size == 0
+
+
+def test_exact_dedup_keeps_min_id():
+    ds = rd.from_arrow(_docs_with_near_dups())
+    out = exact_dedup(ds, "text", "doc_id").to_pandas()
+    assert len(out) == 43                      # 44 docs, one exact dup
+    row = out[out["n_copies"] == 2]
+    assert len(row) == 1 and row["doc_id"].iloc[0] == 1
+
+
+def test_jaccard_and_minhash_find_planted_pairs():
+    ds = rd.from_arrow(_docs_with_near_dups())
+    exact = jaccard_pairs(ds, "text", "doc_id", ngram=2,
+                          threshold=0.5).to_pandas()
+    got_exact = set(map(tuple, exact[["a", "b"]].to_numpy()))
+    planted = {(0, 100), (5, 101), (10, 102), (1, 200)}
+    assert planted <= got_exact
+
+    lsh = minhash_lsh_pairs(ds, "text", "doc_id", ngram=2,
+                            threshold=0.5).to_pandas()
+    got_lsh = set(map(tuple, lsh[["a", "b"]].to_numpy()))
+    # LSH recall on >=0.9-jaccard planted pairs should be total here
+    assert planted <= got_lsh
+    # verification keeps LSH a subset of the exact result
+    assert got_lsh <= got_exact
+    # jaccard values agree pairwise with the exact op
+    m = exact.merge(lsh, on=["a", "b"])
+    np.testing.assert_allclose(m["jaccard_x"], m["jaccard_y"])
+
+
+def test_simhash_finds_exact_dup():
+    ds = rd.from_arrow(_docs_with_near_dups())
+    out = simhash_pairs(ds, "text", "doc_id", max_hamming=3).to_pandas()
+    got = set(map(tuple, out[["a", "b"]].to_numpy()))
+    assert (1, 200) in got                     # identical docs: dist 0
+    assert (out["hamming"] <= 3).all()
+
+
+def test_ann_lsh_recall_vs_bruteforce():
+    rng = np.random.default_rng(3)
+    n, d = 400, 32
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(np.arange(n)),
+                    "embedding": pa.array(list(mat),
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    exact = ann_bruteforce(ds, "embedding", "vec_id", [0, 1, 2], k=5)
+    approx = ann_lsh(ds, "embedding", "vec_id", [0, 1, 2], k=5)
+    assert list(exact.columns) == ["query_id", "neighbor_id", "rank",
+                                   "score"]
+    # per-query recall@5 of the LSH variant
+    rec = []
+    for q in (0, 1, 2):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        rec.append(len(e & a) / 5)
+    assert np.mean(rec) >= 0.4      # hamming<=1 buckets of 8 planes
+    # scores of overlapping neighbors identical
+    m = exact.merge(approx, on=["query_id", "neighbor_id"])
+    np.testing.assert_allclose(m["score_x"], m["score_y"])
