@@ -23,16 +23,16 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Sum
 
-from ..functions.hashing import hash64, winnow_fingerprint
+from ..functions.hashing import winnow_fingerprint
 from ..functions.langid import langid_frame
 from ..functions.quality import quality_frame, quality_sql
 from ..functions.text_stats import text_stats_frame, text_stats_sql
 from ..stages import ann as ann_mod
 from ..stages import dedup as dedup_mod
 from ..stages.asof import asof_join
-from ..stages.multimodal import HEADER_BYTES, DecodeMedia, make_payload
+from ..stages.multimodal import DecodeMedia, make_payload
 from ..stages.partition import partitioned_apply
 from ..stages.window import (add_backfill, add_lag_lead, add_rolling_rows,
                              add_session_ids, session_aggregate)

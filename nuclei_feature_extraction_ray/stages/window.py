@@ -188,3 +188,42 @@ def session_aggregate(g: pd.DataFrame, key: str, ts_col: str,
     agg["duration_sec"] = (agg["end_ts"] - agg["start_ts"]).dt.total_seconds()
     agg["n_events"] = agg["n_events"].astype(np.int64)
     return agg
+
+
+# -- hot-entity salting for windowed operators ------------------------------
+
+def salted_time_windows(ts_us: np.ndarray, values: np.ndarray,
+                        span_us: int, n_buckets: int) -> dict:
+    """Trailing time-window stats for ONE hot entity computed as if the
+    entity were split across ``n_buckets`` salted sub-partitions.
+
+    This is the correctness recipe for skew salting of windowed
+    operators (SURVEY.md §7 hard part b): each time bucket is extended
+    LEFT by the window span (the overlap region), stats are computed
+    bucket-locally, and only rows owned by the bucket are emitted — so
+    every emitted row saw its full trailing window and the result is
+    byte-identical to the unsalted computation. ``ts_us`` sorted.
+
+    Returned dict matches ``windowed_stats`` (min/max/sum/mean/count).
+    """
+    n = len(ts_us)
+    out = {k: np.empty(n, np.float64) for k in
+           ("min", "max", "sum", "mean")}
+    out["count"] = np.empty(n, np.int64)
+    if n == 0:
+        return out
+    bounds = np.linspace(ts_us[0], ts_us[-1] + 1,
+                         n_buckets + 1).astype(np.int64)
+    for b in range(n_buckets):
+        lo, hi = bounds[b], bounds[b + 1]
+        own = (ts_us >= lo) & (ts_us < hi)
+        if not own.any():
+            continue
+        ext = (ts_us >= lo - span_us) & (ts_us < hi)   # + overlap
+        lefts = np.searchsorted(
+            ts_us[ext], ts_us[ext] - span_us, side="left")
+        st = windowed_stats(values[ext], lefts)
+        own_in_ext = own[ext]
+        for k in out:
+            out[k][own] = st[k][own_in_ext]
+    return out

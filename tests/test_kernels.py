@@ -174,3 +174,22 @@ def test_segment_helpers():
         deque.push(i, v)
         outs.append(deque.extreme())
     assert outs == [5.0, 3.0, 3.0, 1.0]
+
+
+def test_salted_time_windows_equal_unsalted():
+    """Hot-entity salting with window-sized overlap + emit filtering
+    must reproduce the unsalted rolling result exactly (SURVEY.md §7
+    hard part b)."""
+    from nuclei_feature_extraction_ray.stages.window import (
+        salted_time_windows, windowed_stats, time_window_lefts,
+        segment_codes)
+    rng = np.random.default_rng(11)
+    ts = np.sort(rng.integers(0, 1_000_000, 800)).astype(np.int64)
+    v = rng.normal(size=800)
+    span = 50_000
+    codes = segment_codes(np.zeros(800, np.int64))
+    want = windowed_stats(v, time_window_lefts(codes, ts, span))
+    for nb in (2, 3, 7):
+        got = salted_time_windows(ts, v, span, nb)
+        for k in ("min", "max", "mean", "count", "sum"):
+            np.testing.assert_allclose(got[k], want[k], err_msg=k)
