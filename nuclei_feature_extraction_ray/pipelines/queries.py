@@ -23,7 +23,6 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from ..functions.hashing import winnow_fingerprint
 from ..functions.langid import langid_frame
@@ -82,6 +81,17 @@ def _r6(df: pd.DataFrame, cols) -> pd.DataFrame:
     for c in cols:
         df[c] = df[c].round(6)
     return df
+
+
+
+def _combine_partials(partials_ds, keys: list[str],
+                      sums: list[str]) -> pd.DataFrame:
+    """Final combine of per-batch partial aggregates. The partials are
+    tiny by construction (distinct keys x blocks), so the combine runs
+    on the driver — Ray's aggregate operator was measured to cost
+    3-14 s of fixed overhead even on ~100 partial rows."""
+    pdf = partials_ds.to_pandas()
+    return pdf.groupby(keys, as_index=False)[sums].sum()
 
 
 # ===========================================================================
@@ -143,18 +153,13 @@ def lang_profile(sf_dir: str):
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
-            .groupby("lang").aggregate(Sum("n", alias_name="n_docs"),
-                                       Sum("s", alias_name="total_chars"))
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["n_docs"] = batch["n_docs"].astype(np.int64)
-        batch["total_chars"] = batch["total_chars"].astype(np.int64)
-        batch["avg_chars"] = (batch["total_chars"]
-                              / batch["n_docs"]).round(6)
-        return batch
-
-    return agg.map_batches(finish, batch_format="pandas")
+    out = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"), ["lang"],
+        ["n", "s"]).rename(columns={"n": "n_docs", "s": "total_chars"})
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_chars"] = out["total_chars"].astype(np.int64)
+    out["avg_chars"] = (out["total_chars"] / out["n_docs"]).round(6)
+    return out
 
 
 @register("token_totals", sql="""
@@ -174,13 +179,10 @@ def token_totals(sf_dir: str):
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
-            .groupby("source").aggregate(
-                Sum("n", alias_name="n_docs"),
-                Sum("t", alias_name="total_tokens"))
-    return agg.map_batches(
-        lambda b: b.astype({"n_docs": np.int64, "total_tokens": np.int64}),
-        batch_format="pandas")
+    out = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"), ["source"],
+        ["n", "t"]).rename(columns={"n": "n_docs", "t": "total_tokens"})
+    return out.astype({"n_docs": np.int64, "total_tokens": np.int64})
 
 
 @register("dedup_exact", sql="""
@@ -463,22 +465,17 @@ def hourly_rate(sf_dir: str):
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
-            .groupby("event_type").aggregate(
-                Sum("n", alias_name="n"), Sum("s", alias_name="s"),
-                Sum("c", alias_name="c"), Sum("v", alias_name="v"))
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        ang = np.arctan2(b["s"], b["c"])
-        hour = np.mod(ang + 2 * np.pi, 2 * np.pi) / (2 * np.pi) * 24
-        return pd.DataFrame({
-            "event_type": b["event_type"],
-            "n": b["n"].astype(np.int64),
-            "avg_value": (b["v"] / b["n"]).round(6),
-            "circ_hour": hour.round(6),
-        })
-
-    return agg.map_batches(finish, batch_format="pandas")
+    b = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type"], ["n", "s", "c", "v"])
+    ang = np.arctan2(b["s"], b["c"])
+    hour = np.mod(ang + 2 * np.pi, 2 * np.pi) / (2 * np.pi) * 24
+    return pd.DataFrame({
+        "event_type": b["event_type"],
+        "n": b["n"].astype(np.int64),
+        "avg_value": (b["v"] / b["n"]).round(6),
+        "circ_hour": hour.round(6),
+    })
 
 
 # ===========================================================================
@@ -520,23 +517,19 @@ def pricing_summary(sf_dir: str):
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
-            .groupby(["l_returnflag", "l_linestatus"]).aggregate(
-                Sum("q", alias_name="sum_qty"),
-                Sum("cents", alias_name="sum_base_cents"),
-                Sum("dcents", alias_name="dc"),
-                Sum("n", alias_name="count_order"))
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b["sum_qty"] = b["sum_qty"].astype(np.float64)
-        b["sum_base_cents"] = b["sum_base_cents"].astype(np.int64)
-        b["count_order"] = b["count_order"].astype(np.int64)
-        b["avg_qty"] = (b["sum_qty"] / b["count_order"]).round(6)
-        b["avg_disc"] = (b["dc"] / (100.0 * b["count_order"])).round(6)
-        return b[["l_returnflag", "l_linestatus", "sum_qty",
-                  "sum_base_cents", "avg_qty", "avg_disc", "count_order"]]
-
-    return agg.map_batches(finish, batch_format="pandas")
+    b = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        ["q", "cents", "dcents", "n"]).rename(columns={
+            "q": "sum_qty", "cents": "sum_base_cents", "dcents": "dc",
+            "n": "count_order"})
+    b["sum_qty"] = b["sum_qty"].astype(np.float64)
+    b["sum_base_cents"] = b["sum_base_cents"].astype(np.int64)
+    b["count_order"] = b["count_order"].astype(np.int64)
+    b["avg_qty"] = (b["sum_qty"] / b["count_order"]).round(6)
+    b["avg_disc"] = (b["dc"] / (100.0 * b["count_order"])).round(6)
+    return b[["l_returnflag", "l_linestatus", "sum_qty",
+              "sum_base_cents", "avg_qty", "avg_disc", "count_order"]]
 
 
 @register("top_spenders", sql="""
@@ -633,14 +626,11 @@ def region_orders(sf_dir: str):
 
     ds = rd.read_parquet(_path(sf_dir, "orders"),
                          columns=["o_custkey", "o_totalprice"])
-    agg = ds.map_batches(Enrich, batch_format="pandas", concurrency=2) \
-            .groupby("region_name").aggregate(
-                Sum("n", alias_name="n_orders"),
-                Sum("cents", alias_name="total_cents"))
-    return agg.map_batches(
-        lambda b: b.astype({"n_orders": np.int64,
-                            "total_cents": np.int64}),
-        batch_format="pandas")
+    out = _combine_partials(
+        ds.map_batches(Enrich, batch_format="pandas", concurrency=2),
+        ["region_name"], ["n", "cents"]).rename(columns={
+            "n": "n_orders", "cents": "total_cents"})
+    return out.astype({"n_orders": np.int64, "total_cents": np.int64})
 
 
 # ===========================================================================
