@@ -46,7 +46,8 @@ def main(argv: list[str] | None = None) -> int:
     check_output(args.output, args.overwrite, args.resume)
 
     import ray
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, ignore_reinit_error=True,
                  logging_level="ERROR")
@@ -78,7 +79,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(summary))
         return 0
     finally:
-        ray.shutdown()
+        if owns_session:     # never tear down a caller-owned session
+            ray.shutdown()
 
 
 if __name__ == "__main__":
