@@ -23,6 +23,17 @@ from .partition import partition_map
 _SIDE = "__side"
 
 
+def _pandas_dtypes(ds, cols: list[str]) -> dict:
+    """The pandas dtype each Arrow column converts to WITHOUT null
+    padding — the dtype the oracle (and a plain read) would produce."""
+    sch = ds.schema()
+    fields = [pa.field(n, t) for n, t in zip(sch.names, sch.types)
+              if n in cols and isinstance(t, pa.DataType)]
+    if not fields:
+        return {}
+    return dict(pa.schema(fields).empty_table().to_pandas().dtypes)
+
+
 def asof_join(probes, snapshots, key: str, probe_ts: str, snap_ts: str,
               value_cols: list[str], num_partitions: int = 32,
               tolerance: pd.Timedelta | None = None):
@@ -37,6 +48,13 @@ def asof_join(probes, snapshots, key: str, probe_ts: str, snap_ts: str,
 
     p = probes.select_columns(probe_cols)
     s = snapshots.select_columns(snap_keep)
+
+    # The union pads each side with nulls for the other side's columns,
+    # so when the exchanged block becomes pandas, null-padded integer
+    # probe columns upcast to float64. Probe rows themselves are never
+    # null in probe columns, so after the merge we restore the probes'
+    # original dtypes (the dtype pandas would give the un-padded side).
+    probe_dtypes = _pandas_dtypes(probes, probe_cols)
 
     # Align schemas for union: each side gets the other's columns as null.
     def pad(missing_schema_cols):
@@ -73,19 +91,28 @@ def asof_join(probes, snapshots, key: str, probe_ts: str, snap_ts: str,
 
     out_cols = probe_cols + [snap_ts] + value_cols
 
+    def restore(df: pd.DataFrame) -> pd.DataFrame:
+        for c, dt in probe_dtypes.items():
+            if c in df.columns and df[c].dtype != dt \
+                    and not df[c].isna().any():
+                df[c] = df[c].astype(dt)
+        return df
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         pr = g[g[_SIDE] == 0]
         sn = g[g[_SIDE] == 1]
         pr = pr.sort_values([probe_ts, key], kind="mergesort")
         if len(sn) == 0:
-            return pr[out_cols] if len(pr) else pd.DataFrame(
-                {c: pd.Series(dtype=g[c].dtype) for c in out_cols})
+            return restore(pr[out_cols].copy()) if len(pr) \
+                else pd.DataFrame(
+                    {c: pd.Series(dtype=probe_dtypes.get(c, g[c].dtype))
+                     for c in out_cols})
         sn = sn.sort_values([snap_ts, key], kind="mergesort")
         merged = pd.merge_asof(
             pr[probe_cols], sn[[key, snap_ts] + value_cols],
             left_on=probe_ts, right_on=snap_ts, by=key,
             direction="backward", allow_exact_matches=True,
             tolerance=tolerance)
-        return merged[out_cols]
+        return restore(merged[out_cols])
 
     return partition_map(both, [key], merge, num_partitions)
