@@ -98,6 +98,19 @@ def _lang(g: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _texture_families() -> dict[str, "_Family"]:
+    """The GLCM/GLRLM/Gabor-analog families (functions/texture.py).
+    Their columns are computed pre-shuffle (stateless per-row kernels,
+    like structure/charclass) so compute is an identity selection."""
+    from .functions.texture import (COOC_COLUMNS, RUNLEN_COLUMNS,
+                                    SPECTRUM_COLUMNS)
+    return {
+        "cooc": _Family("cooc", COOC_COLUMNS, _structure),
+        "runlen": _Family("runlen", RUNLEN_COLUMNS, _structure),
+        "spectrum": _Family("spectrum", SPECTRUM_COLUMNS, _structure),
+    }
+
+
 #: name -> family. Deterministic column grids (schema from config).
 FAMILIES: dict[str, _Family] = {
     "structure": _Family("structure",
@@ -112,14 +125,21 @@ FAMILIES: dict[str, _Family] = {
                          "r30_mean", "r30_count"], _temporal),
     "session": _Family("session", ["session_id"], _session),
     "lang": _Family("lang", ["lang_changed", "lang_stab_5"], _lang),
+    **_texture_families(),
 }
 
-#: Alias table (src/args.rs:34-49 analog).
+#: Alias table (src/args.rs:34-49 analog; ``texture`` mirrors the
+#: reference's texture -> {glcm, glrlm, gabor} expansion).
 ALIASES: dict[str, list[str]] = {
-    "all": ["structure", "charclass", "temporal", "session", "lang"],
+    "all": ["structure", "charclass", "temporal", "session", "lang",
+            "cooc", "runlen", "spectrum"],
     "text": ["structure", "charclass"],
     "windowed": ["temporal", "session", "lang"],
+    "texture": ["cooc", "runlen", "spectrum"],
 }
+
+#: families whose columns come from the pre-shuffle texture kernel
+TEXTURE_FAMILY_NAMES = {"cooc", "runlen", "spectrum"}
 
 
 def expand_families(names: list[str]) -> list[_Family]:

@@ -35,6 +35,7 @@ import pyarrow as pa
 from ..functions.hashing import hash64
 from ..functions.text_extract import ExtractText
 from ..functions.text_stats import STAT_COLUMNS, text_stats_frame
+from ..functions.texture import TEXTURE_COLUMNS, texture_frame
 from ..stages.partition import PART_COL, with_partition
 from ..stages.asof import asof_join
 from ..state.manifest import commit_partition, committed_parts
@@ -49,7 +50,7 @@ FEATURE_COLUMNS = (
     ["url", "warc_ts", "lang"] + STAT_COLUMNS +
     ["snap_idx", "gap_sec", "delta_n_chars", "days_since_first",
      "r30_min", "r30_max", "r30_mean", "r30_count",
-     "session_id", "lang_changed", "lang_stab_5"]
+     "session_id", "lang_changed", "lang_stab_5"] + TEXTURE_COLUMNS
 )
 
 
@@ -64,11 +65,12 @@ _EXTRACTOR = ExtractText()
 
 
 def extract_stage(pages_ds, concurrency: int | None = None,
-                  batch_size: int = 256):
+                  batch_size: int = 256, texture: bool = True):
     """html -> extracted_text (+ok flag, +html_hash); html dropped.
 
     ``concurrency``: None (default) = elastic task pool; an int opts
-    into an actor pool of that size.
+    into an actor pool of that size. ``texture`` also computes the
+    GLCM/GLRLM/Gabor-analog columns (pre-shuffle, like the stats).
     """
     if concurrency:
         ds = pages_ds.map_batches(
@@ -86,16 +88,20 @@ def extract_stage(pages_ds, concurrency: int | None = None,
         return batch.drop_columns(["html"])
 
     ds = ds.map_batches(slim, batch_format="pyarrow")
-    return ds.map_batches(add_text_stats, batch_format="pandas")
+    return ds.map_batches(
+        lambda g: add_text_stats(g, texture=texture),
+        batch_format="pandas")
 
 
-def add_text_stats(g: pd.DataFrame) -> pd.DataFrame:
+def add_text_stats(g: pd.DataFrame, texture: bool = True) -> pd.DataFrame:
     """Per-row stat kernels (stateless). Run BEFORE the shuffle so the
-    exchange moves ~25 numeric columns instead of kilobyte text bodies
-    — the windowed operators never need the text itself."""
-    feats = text_stats_frame(g["extracted_text"])
+    exchange moves numeric feature columns instead of kilobyte text
+    bodies — the windowed operators never need the text itself."""
+    parts = [text_stats_frame(g["extracted_text"])]
+    if texture:
+        parts.append(texture_frame(g["extracted_text"]))
     g = g.drop(columns=["extracted_text"])
-    return pd.concat([g, feats], axis=1)
+    return pd.concat([g] + parts, axis=1)
 
 
 def partition_features(g: pd.DataFrame,
@@ -113,7 +119,7 @@ def partition_features(g: pd.DataFrame,
     out_cols = feature_schema(families or ["all"])
 
     if "extracted_text" in g.columns:
-        g = add_text_stats(g)
+        g = add_text_stats(g, texture=_needs_texture(families))
     g = g.sort_values(["url", "warc_ts", "html_hash"], kind="mergesort")
     # Exact dedup on (url, warc_ts): deterministic winner = min html_hash.
     g = g.drop_duplicates(["url", "warc_ts"], keep="first")
@@ -131,6 +137,12 @@ def partition_features(g: pd.DataFrame,
     return out
 
 
+def _needs_texture(families: list[str] | None) -> bool:
+    from ..config import TEXTURE_FAMILY_NAMES, expand_families
+    fams = expand_families(families or ["all"])
+    return any(f.name in TEXTURE_FAMILY_NAMES for f in fams)
+
+
 def compute_features(pages_ds, num_partitions: int = 32,
                      concurrency: int | None = None,
                      families: list[str] | None = None):
@@ -138,7 +150,8 @@ def compute_features(pages_ds, num_partitions: int = 32,
     from ..stages.partition import partition_map
     from ..util import configure_context
     configure_context()
-    ds = extract_stage(pages_ds, concurrency=concurrency)
+    ds = extract_stage(pages_ds, concurrency=concurrency,
+                       texture=_needs_texture(families))
     ds = with_partition(ds, "url", num_partitions)
     return partition_map(
         ds, [PART_COL],
@@ -167,7 +180,8 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
     configure_context()
     done = committed_parts(out_dir) if resume else set()
 
-    ds = extract_stage(pages_ds, concurrency=concurrency)
+    ds = extract_stage(pages_ds, concurrency=concurrency,
+                       texture=_needs_texture(families))
     ds = with_partition(ds, "url", num_partitions)
     if done:
         import ray

@@ -28,6 +28,8 @@ from ..functions.hashing import winnow_fingerprint
 from ..functions.langid import langid_frame
 from ..functions.quality import quality_frame, quality_sql
 from ..functions.text_stats import text_stats_frame, text_stats_sql
+from ..functions.texture import (cooc_sql, runlen_sql, spectrum_sql,
+                                 texture_frame)
 from ..stages import ann as ann_mod
 from ..stages import dedup as dedup_mod
 from ..stages.asof import asof_join
@@ -183,6 +185,28 @@ def token_totals(sf_dir: str):
         ds.map_batches(partial, batch_format="pandas"), ["source"],
         ["n", "t"]).rename(columns={"n": "n_docs", "t": "total_tokens"})
     return out.astype({"n_docs": np.int64, "total_tokens": np.int64})
+
+
+def _texture_query(which: tuple[str, ...]):
+    def run(sf_dir: str):
+        ds = rd.read_parquet(_path(sf_dir, "documents"),
+                             columns=["doc_id", "text"])
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = texture_frame(batch["text"], which=which)
+            out.insert(0, "doc_id", batch["doc_id"].to_numpy())
+            return out
+
+        return ds.map_batches(fn, batch_format="pandas")
+    return run
+
+
+# Texture-analog families (functions/texture.py): doc_cooc = GLCM
+# analog (reference src/features/texture.rs:22-172), doc_runlen =
+# GLRLM analog (:174-315), doc_spectrum = Gabor analog (:317-374).
+register("doc_cooc", sql=cooc_sql())(_texture_query(("cooc",)))
+register("doc_runlen", sql=runlen_sql())(_texture_query(("runlen",)))
+register("doc_spectrum", sql=spectrum_sql())(_texture_query(("spectrum",)))
 
 
 @register("dedup_exact", sql="""
