@@ -9,6 +9,14 @@
   by sign-pattern; only buckets matching a query's pattern (within one
   flipped bit) are scanned. The scale path when the corpus is too big
   for full scans.
+* ``embedding_near_dup``: exact all-pairs cosine >= threshold via a
+  DISTRIBUTED blocked self-join: the corpus is packed into normalized
+  matrix blocks held in the object store, and one Ray-Data task per
+  block pair (i <= j) does the C matmul — the driver holds only block
+  refs, never the matrix. Exact-tier work is inherently O(n^2/blocks)
+  flops (so is the quadratic SQL oracle); for approximate near-dup at
+  corpus scale with high thresholds, the banded-LSH shape of
+  ``ann_lsh`` / ``dedup.minhash_lsh_pairs`` is the documented path.
 
 No analog in the reference (nearest-centroid lookups there are spatial
 patch reads); this is a first-class training-data op.
@@ -19,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -26,10 +35,24 @@ from ..util import pool_size
 
 
 def _stack(emb_chunk) -> np.ndarray:
-    arr = emb_chunk.combine_chunks() if hasattr(emb_chunk, "combine_chunks") \
-        else emb_chunk
-    return np.vstack([np.asarray(x, np.float64) for x in
-                      arr.to_pylist()])
+    """(n, d) float64 from an Arrow list column — zero-copy through the
+    flat values buffer for fixed-size or uniform-length lists (the
+    embedding case); no ``to_pylist`` round-trip."""
+    arr = emb_chunk.combine_chunks() if isinstance(
+        emb_chunk, pa.ChunkedArray) else emb_chunk
+    if isinstance(arr, pa.FixedSizeListArray):
+        d = arr.type.list_size
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), d).astype(np.float64)
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray)):
+        off = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(off)
+        if len(widths) and (widths == widths[0]).all():
+            flat = arr.values.to_numpy(zero_copy_only=False)
+            d = int(widths[0])
+            return flat[off[0]:off[-1]].reshape(len(arr), d) \
+                .astype(np.float64)
+    return np.vstack([np.asarray(x, np.float64) for x in arr.to_pylist()])
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -38,18 +61,44 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _query_matrix(ds, emb_col: str, id_col: str,
+                  query_ids: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """Gather the (tiny) query rows with a vectorized Arrow filter over
+    the corpus — no per-row Python predicate; only the handful of
+    matching query rows ever reach the driver."""
+    qset = pa.array(sorted(int(q) for q in query_ids), pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[id_col], value_set=qset))
+
+    rows = ds.select_columns([id_col, emb_col]) \
+             .map_batches(keep, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: int(r[id_col]))
+    qids = np.asarray([int(r[id_col]) for r in rows])
+    qmat = _norm_rows(np.asarray([r[emb_col] for r in rows], np.float64))
+    return qids, qmat
+
+
+def _topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "score", "neighbor_id"],
+        ascending=[True, False, True], kind="mergesort")
+    top = partials.groupby("query_id", sort=True).head(k).reset_index(
+        drop=True)
+    top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
+    top["rank"] = top["rank"].astype(np.int64)
+    top["score"] = top["score"].round(6)
+    return top[["query_id", "neighbor_id", "rank", "score"]]
+
+
 def ann_bruteforce(ds, emb_col: str, id_col: str,
                    query_ids: list[int], k: int = 5) -> pd.DataFrame:
     """Exact cosine top-k for each query id (queries drawn from the
     dataset itself; self-matches excluded). Returns a small pandas
     frame (query_id, neighbor_id, rank, score) — top-k results are
     driver-sized by construction."""
-    qset = set(int(q) for q in query_ids)
-
-    qrows = ds.filter(lambda r: int(r[id_col]) in qset).take_all()
-    qrows.sort(key=lambda r: int(r[id_col]))
-    qids = np.asarray([int(r[id_col]) for r in qrows])
-    qmat = _norm_rows(np.asarray([r[emb_col] for r in qrows], np.float64))
+    qids, qmat = _query_matrix(ds, emb_col, id_col, query_ids)
     qref = ray.put((qids, qmat))
 
     class BlockTopK:
@@ -79,17 +128,7 @@ def ann_bruteforce(ds, emb_col: str, id_col: str,
     partials = ds.select_columns([id_col, emb_col]).map_batches(
         BlockTopK, batch_format="pyarrow", concurrency=pool_size(),
         batch_size=4096).to_pandas()     # partials: Q * k * n_blocks rows
-
-    partials = partials[partials["query_id"] != partials["neighbor_id"]]
-    partials = partials.sort_values(
-        ["query_id", "score", "neighbor_id"],
-        ascending=[True, False, True], kind="mergesort")
-    top = partials.groupby("query_id", sort=True).head(k).reset_index(
-        drop=True)
-    top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
-    top["rank"] = top["rank"].astype(np.int64)
-    top["score"] = top["score"].round(6)
-    return top[["query_id", "neighbor_id", "rank", "score"]]
+    return _topk(partials, k)
 
 
 def ann_lsh(ds, emb_col: str, id_col: str, query_ids: list[int],
@@ -98,16 +137,10 @@ def ann_lsh(ds, emb_col: str, id_col: str, query_ids: list[int],
     fixed random projections; scan only buckets at hamming distance <= 1
     from each query's bucket. Approximate — recall measured in tests
     against ``ann_bruteforce``."""
-    sample = ds.take(1)[0]
-    dim = len(sample[emb_col])
+    qids, qmat = _query_matrix(ds, emb_col, id_col, query_ids)
+    dim = qmat.shape[1]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    qset = set(int(q) for q in query_ids)
-
-    qrows = ds.filter(lambda r: int(r[id_col]) in qset).take_all()
-    qrows.sort(key=lambda r: int(r[id_col]))
-    qids = np.asarray([int(r[id_col]) for r in qrows])
-    qmat = _norm_rows(np.asarray([r[emb_col] for r in qrows], np.float64))
     qsig = ((qmat @ planes.T) > 0).astype(np.uint8)
     qbuck = np.packbits(qsig, axis=1, bitorder="little")[:, 0]
     # Expand each query bucket to its hamming<=1 neighborhood.
@@ -116,18 +149,23 @@ def ann_lsh(ds, emb_col: str, id_col: str, query_ids: list[int],
         wanted.add(int(b))
         for bit in range(n_planes):
             wanted.add(int(b) ^ (1 << bit))
-    ctx = ray.put((qids, qmat, planes, frozenset(wanted)))
+    ctx = ray.put((qids, qmat, planes,
+                   np.asarray(sorted(wanted), np.int64)))
 
     class BucketScan:
         def __init__(self):
-            self.qids, self.qmat, self.planes, self.wanted = ray.get(ctx)
+            self.qids, self.qmat, self.planes, w = ray.get(ctx)
+            self.wanted = w                       # sorted int64 array
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             mat = _norm_rows(_stack(batch[emb_col]))
             sig = ((mat @ self.planes.T) > 0).astype(np.uint8)
-            buck = np.packbits(sig, axis=1, bitorder="little")[:, 0]
-            mask = np.asarray([int(b) in self.wanted for b in buck])
+            buck = np.packbits(sig, axis=1, bitorder="little")[:, 0] \
+                .astype(np.int64)
+            pos = np.searchsorted(self.wanted, buck)
+            pos = np.clip(pos, 0, len(self.wanted) - 1)
+            mask = self.wanted[pos] == buck       # vectorized membership
             ids, mat = ids[mask], mat[mask]
             if len(ids) == 0:
                 return pa.table({"query_id": pa.array([], pa.int64()),
@@ -143,51 +181,88 @@ def ann_lsh(ds, emb_col: str, id_col: str, query_ids: list[int],
     partials = ds.select_columns([id_col, emb_col]).map_batches(
         BucketScan, batch_format="pyarrow", concurrency=pool_size(),
         batch_size=4096).to_pandas()
-    partials = partials[partials["query_id"] != partials["neighbor_id"]]
-    partials = partials.sort_values(
-        ["query_id", "score", "neighbor_id"],
-        ascending=[True, False, True], kind="mergesort")
-    top = partials.groupby("query_id", sort=True).head(k).reset_index(
-        drop=True)
-    top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
-    top["rank"] = top["rank"].astype(np.int64)
-    top["score"] = top["score"].round(6)
-    return top[["query_id", "neighbor_id", "rank", "score"]]
+    return _topk(partials, k)
 
 
 def embedding_near_dup(ds, emb_col: str, id_col: str,
-                       threshold: float) -> pd.DataFrame:
-    """Cosine near-duplicate pairs (a < b, cos >= threshold) via blocked
-    self-matmul: every block is compared against the full (normalized)
-    matrix, which is broadcast once. O(n^2/blocks) flops in C, no
-    Python-pair loops; for corpora where the matrix itself no longer
-    fits a worker, the LSH bucketing of ``ann_lsh`` is the scale path."""
-    all_rows = ds.select_columns([id_col, emb_col])
-    full = all_rows.to_pandas()
-    ids_full = full[id_col].to_numpy()
-    mat_full = _norm_rows(np.vstack(
-        [np.asarray(v, np.float64) for v in full[emb_col]]))
-    order = np.argsort(ids_full, kind="mergesort")
-    ids_full, mat_full = ids_full[order], mat_full[order]
-    ref = ray.put((ids_full, mat_full))
+                       threshold: float,
+                       block_size: int = 2048) -> pd.DataFrame:
+    """Cosine near-duplicate pairs (a < b, cos >= threshold), EXACT,
+    distributed: corpus -> normalized matrix blocks in the object
+    store -> one task per block pair (i <= j) does the matmul. The
+    driver only ever holds block REFS and the final pair rows; a dot
+    product between two vectors is blocking-invariant, so results are
+    bit-identical to a monolithic matmul (and to the SQL oracle)."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mat = _norm_rows(_stack(batch[emb_col]))
+        return pa.table({
+            "ids": pa.array([ids.tobytes()], pa.binary()),
+            "mat": pa.array([mat.tobytes()], pa.binary()),
+            "d": pa.array([mat.shape[1]], pa.int64()),
+        })
+
+    blocks = ds.select_columns([id_col, emb_col]).map_batches(
+        pack, batch_format="pyarrow", batch_size=block_size).materialize()
+    refs = [r for bundle in blocks.iter_internal_ref_bundles()
+            for r in bundle.block_refs]
+    if not refs:
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                             "b": pd.Series(dtype=np.int64),
+                             "cosine": pd.Series(dtype=np.float64)})
+
+    import ray.data as rd
+    items = [{"i": i, "j": j} for i in range(len(refs))
+             for j in range(i, len(refs))]
+    # one block per few pairs so the pair matmuls spread across the pool
+    pairs = rd.from_items(
+        items, override_num_blocks=max(1, (len(items) + 3) // 4))
 
     class PairBlock:
-        def __init__(self):
-            self.ids, self.mat = ray.get(ref)
+        def __init__(self, refs):
+            self.refs = refs
+            self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def _load(self, k: int):
+            if k not in self.cache:
+                t = ray.get(self.refs[k])
+                if isinstance(t, pd.DataFrame):
+                    t = pa.Table.from_pandas(t)
+                d = t["d"][0].as_py()
+                ids = np.concatenate(
+                    [np.frombuffer(b, np.int64)
+                     for b in t["ids"].to_pylist()])
+                mat = np.vstack(
+                    [np.frombuffer(b, np.float64).reshape(-1, d)
+                     for b in t["mat"].to_pylist()])
+                if len(self.cache) >= 8:     # bounded per-actor cache
+                    self.cache.pop(next(iter(self.cache)))
+                self.cache[k] = (ids, mat)
+            return self.cache[k]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            mat = _norm_rows(_stack(batch[emb_col]))
-            sims = mat @ self.mat.T
-            bi, fj = np.nonzero(sims >= threshold)
-            a = ids[bi]
-            b = self.ids[fj]
-            keep = a < b
+            out_a, out_b, out_c = [], [], []
+            for i, j in zip(batch["i"].to_pylist(),
+                            batch["j"].to_pylist()):
+                ids_i, mat_i = self._load(i)
+                ids_j, mat_j = self._load(j)
+                sims = mat_i @ mat_j.T
+                bi, bj = np.nonzero(sims >= threshold)
+                a, b = ids_i[bi], ids_j[bj]
+                keep = a < b
+                out_a.append(a[keep])
+                out_b.append(b[keep])
+                out_c.append(np.round(sims[bi, bj][keep], 6))
+            cat = lambda xs, t: (np.concatenate(xs) if xs
+                                 else np.empty(0, t))
             return pa.table({
-                "a": pa.array(a[keep]), "b": pa.array(b[keep]),
-                "cosine": pa.array(np.round(sims[bi, fj][keep], 6)),
+                "a": pa.array(cat(out_a, np.int64)),
+                "b": pa.array(cat(out_b, np.int64)),
+                "cosine": pa.array(cat(out_c, np.float64)),
             })
 
-    return (all_rows.map_batches(PairBlock, batch_format="pyarrow",
-                                 concurrency=pool_size(), batch_size=2048)
-            .to_pandas())
+    return pairs.map_batches(
+        PairBlock, batch_format="pyarrow", concurrency=pool_size(),
+        batch_size=4, fn_constructor_kwargs={"refs": refs}).to_pandas()
