@@ -174,27 +174,87 @@ def jaccard_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
 # MinHash + LSH (approximate near-dup at scale)
 # ---------------------------------------------------------------------------
 
+def _attach_sig(pairs_ds, sigs_ds, key_col: str, new_col: str,
+                carry: dict[str, "pa.DataType"], num_partitions: int):
+    """Keyed join attaching ``sig`` of doc ``key_col`` onto pair rows:
+    tag + union + ONE hash exchange on the doc id (the asof-join
+    shape, stages/asof.py). Only pair tuples and 512-byte signatures
+    cross the wire. Int pair columns are restored after the pandas
+    merge (null padding upcasts them, cf. asof dtype note)."""
+    side = "__side"
+
+    def prep_pairs(t: pa.Table) -> pa.Table:
+        cols = {"__key": t[key_col]}
+        for c in carry:
+            cols[c] = t[c]
+        cols["__s"] = pa.nulls(len(t), pa.binary())
+        cols[side] = pa.array(np.zeros(len(t), np.int8))
+        return pa.table(cols)
+
+    def prep_sigs(t: pa.Table) -> pa.Table:
+        cols = {"__key": t["doc"]}
+        for c, typ in carry.items():
+            cols[c] = pa.nulls(len(t), typ)
+        cols["__s"] = t["sig"]
+        cols[side] = pa.array(np.ones(len(t), np.int8))
+        return pa.table(cols)
+
+    both = pairs_ds.map_batches(prep_pairs, batch_format="pyarrow") \
+        .union(sigs_ds.map_batches(prep_sigs, batch_format="pyarrow"))
+
+    def attach_part(g: pd.DataFrame) -> pd.DataFrame:
+        sig = g.loc[g[side] == 1, ["__key", "__s"]]
+        pr = g[g[side] == 0].drop(columns=["__s", side])
+        m = pr.merge(sig.rename(columns={"__s": new_col}),
+                     on="__key", how="left").drop(columns=["__key"])
+        for c in ("a", "b"):
+            if c in m.columns and m[c].dtype != np.int64:
+                m[c] = m[c].astype(np.int64)
+        return m
+
+    return partition_map(both, ["__key"], attach_part, num_partitions)
+
+
 def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
                       num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.2, num_partitions: int = 16):
-    """Candidate pairs from LSH banding, verified by exact Jaccard on
-    the pair's shingle sets (re-derived from the texts carried through
-    the bucket shuffle). Probabilistic recall (standard S-curve with
-    r = k/bands rows per band); deterministic given fixed hash seeds.
-    """
+    """Candidate pairs from LSH banding, verified by SIGNATURE
+    AGREEMENT: jaccard_est = fraction of the k MinHash lanes equal —
+    an unbiased estimator of Jaccard (stderr ~ sqrt(s(1-s)/k)).
+    Probabilistic recall (standard S-curve with r = k/bands rows per
+    band); deterministic given fixed hash seeds.
+
+    Scale shape: the raw text NEVER crosses a shuffle. The per-doc
+    signature table (doc, 8*k bytes) is materialized once; the band
+    shuffle moves only (band, bucket, doc) rows; candidate pairs are
+    deduplicated, then the two 512-byte signatures are attached by two
+    keyed exchanges and compared with one vectorized lane-equality
+    pass — no per-pair Python loop anywhere."""
     def sig(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pandas()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         shingles = [word_shingles(t, ngram) for t in _tokenize(texts)]
         sigs = minhash_signatures(shingles, k=num_hashes)
-        keys = lsh_band_keys(sigs, bands)
-        n = len(ids)
         return pa.table({
-            "band": pa.array(np.repeat(np.arange(bands, dtype=np.int64), n)),
+            "doc": pa.array(ids.astype(np.int64)),
+            "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+        })
+
+    sigs_ds = ds.select_columns([text_col, id_col]).map_batches(
+        sig, batch_format="pyarrow").materialize()
+
+    def bandrows(batch: pa.Table) -> pa.Table:
+        docs = batch["doc"].to_numpy(zero_copy_only=False)
+        sigm = np.vstack([np.frombuffer(b, np.uint64)
+                          for b in batch["sig"].to_pylist()]) \
+            if len(batch) else np.empty((0, num_hashes), np.uint64)
+        keys = lsh_band_keys(sigm, bands)
+        n = len(docs)
+        return pa.table({
+            "band": pa.array(np.repeat(
+                np.arange(bands, dtype=np.int64), n)),
             "bucket": pa.array(keys.T.reshape(-1).astype(np.int64)),
-            "doc": pa.array(np.tile(ids, bands)),
-            "text": pa.array(np.tile(texts.to_numpy(dtype=object), bands),
-                             pa.string()),
+            "doc": pa.array(np.tile(docs, bands)),
         })
 
     def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -203,51 +263,54 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
         bb = (g["band"].to_numpy() * np.int64(1 << 32)
               ^ g["bucket"].to_numpy())
         docs = g["doc"].to_numpy()
-        texts = g["text"].to_numpy(dtype=object)
         starts, ends = _segment_pairs(bb)
-        seen: set[tuple[int, int]] = set()
-        rows_a, rows_b, rows_j = [], [], []
-        cache: dict[int, np.ndarray] = {}
-
-        def sset(pos: int) -> np.ndarray:
-            if pos not in cache:
-                cache[pos] = word_shingles(texts[pos].split(), ngram)
-            return cache[pos]
-
+        out_a, out_b = [], []
         for st, en in zip(starts, ends):
-            if en - st < 2:
+            m = en - st
+            if m < 2:
                 continue
-            for x in range(st, en):
-                for y in range(x + 1, en):
-                    key = (int(docs[x]), int(docs[y]))
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    sa, sb = sset(x), sset(y)
-                    inter = np.intersect1d(sa, sb,
-                                           assume_unique=True).size
-                    union = sa.size + sb.size - inter
-                    jac = inter / union if union else 0.0
-                    if jac >= threshold:
-                        rows_a.append(key[0])
-                        rows_b.append(key[1])
-                        rows_j.append(jac)
-        if not rows_a:
-            return _empty({"a": np.int64, "b": np.int64,
-                           "jaccard": np.float64})
-        return pd.DataFrame({"a": rows_a, "b": rows_b, "jaccard": rows_j})
+            i, j = np.triu_indices(m, k=1)
+            out_a.append(docs[st + i])
+            out_b.append(docs[st + j])
+        if not out_a:
+            return _empty(_EMPTY_PAIRS)
+        out = pd.DataFrame({"a": np.concatenate(out_a),
+                            "b": np.concatenate(out_b)})
+        return out.drop_duplicates(["a", "b"])
 
-    cand = ds.select_columns([text_col, id_col]).map_batches(
-        sig, batch_format="pyarrow")
+    def uniq_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    cand = sigs_ds.map_batches(bandrows, batch_format="pyarrow")
     pairs = partition_map(cand, ["bucket"], bucket_pairs_part,
                           num_partitions)
+    pairs = partition_map(pairs, ["a", "b"], uniq_part, num_partitions)
 
-    # A pair found in several bands can land in different partitions ->
-    # final exact dedup on the pair key (small shuffle: pairs only).
-    def uniq_part(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["a", "b"])[["a", "b", "jaccard"]]
+    pairs = _attach_sig(pairs, sigs_ds, "a", "sig_a",
+                        {"a": pa.int64(), "b": pa.int64()},
+                        num_partitions)
+    pairs = _attach_sig(pairs, sigs_ds, "b", "sig_b",
+                        {"a": pa.int64(), "b": pa.int64(),
+                         "sig_a": pa.binary()}, num_partitions)
 
-    return partition_map(pairs, ["a", "b"], uniq_part, num_partitions)
+    def estimate(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "jaccard_est": pa.array([], pa.float64())})
+        sa = np.frombuffer(b"".join(g["sig_a"]), np.uint64) \
+            .reshape(len(g), num_hashes)
+        sb = np.frombuffer(b"".join(g["sig_b"]), np.uint64) \
+            .reshape(len(g), num_hashes)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({
+            "a": pa.array(g["a"].to_numpy(np.int64)[keep]),
+            "b": pa.array(g["b"].to_numpy(np.int64)[keep]),
+            "jaccard_est": pa.array(est[keep]),
+        })
+
+    return pairs.map_batches(estimate, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

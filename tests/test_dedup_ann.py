@@ -67,11 +67,14 @@ def test_jaccard_and_minhash_find_planted_pairs():
     got_lsh = set(map(tuple, lsh[["a", "b"]].to_numpy()))
     # LSH recall on >=0.9-jaccard planted pairs should be total here
     assert planted <= got_lsh
-    # verification keeps LSH a subset of the exact result
-    assert got_lsh <= got_exact
-    # jaccard values agree pairwise with the exact op
+    # signature-agreement estimate tracks exact jaccard (k=64 lanes:
+    # stderr ~ sqrt(s(1-s)/64) ~ 0.06; allow 4 sigma)
     m = exact.merge(lsh, on=["a", "b"])
-    np.testing.assert_allclose(m["jaccard_x"], m["jaccard_y"])
+    assert len(m) >= len(planted)
+    np.testing.assert_allclose(m["jaccard"], m["jaccard_est"], atol=0.25)
+    # the exact dup pair estimates jaccard exactly 1
+    dup = lsh[(lsh["a"] == 1) & (lsh["b"] == 200)]
+    assert dup["jaccard_est"].iloc[0] == 1.0
 
 
 def test_simhash_finds_exact_dup():
