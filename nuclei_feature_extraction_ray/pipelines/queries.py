@@ -86,13 +86,29 @@ def _r6(df: pd.DataFrame, cols) -> pd.DataFrame:
 
 
 
+#: driver-side combine is only sane for bounded-cardinality keys;
+#: fail loudly rather than OOM the driver if a caller exceeds this.
+_COMBINE_MAX_ROWS = 1_000_000
+
+
 def _combine_partials(partials_ds, keys: list[str],
                       sums: list[str]) -> pd.DataFrame:
     """Final combine of per-batch partial aggregates. The partials are
     tiny by construction (distinct keys x blocks), so the combine runs
     on the driver — Ray's aggregate operator was measured to cost
-    3-14 s of fixed overhead even on ~100 partial rows."""
-    pdf = partials_ds.to_pandas()
+    3-14 s of fixed overhead even on ~100 partial rows. Guarded: above
+    ``_COMBINE_MAX_ROWS`` partial rows this raises instead of pulling
+    an unbounded frame onto the driver — use a hash exchange
+    (stages/partition.partition_map) for high-cardinality keys, as
+    top_spenders does."""
+    pdf = partials_ds.limit(_COMBINE_MAX_ROWS + 1).to_pandas()
+    if len(pdf) > _COMBINE_MAX_ROWS:
+        raise ValueError(
+            "_combine_partials: > %d partial rows for keys %r — key "
+            "cardinality is too high for a driver-side combine; use "
+            "stages.partition.partition_map (one hash exchange + "
+            "vectorized per-partition combine) instead"
+            % (_COMBINE_MAX_ROWS, keys))
     return pdf.groupby(keys, as_index=False)[sums].sum()
 
 
@@ -224,6 +240,11 @@ def dedup_exact(sf_dir: str):
              string_split_regex(trim(text, E' \\t\\n\\r\\f'),
                                 '[ \\t\\n\\r\\f]+') AS w
       FROM documents
+      -- empty / whitespace-only docs have NO shingles (engine
+      -- semantics: _tokenize yields [] -> no postings); without this
+      -- the SQL would give them the [''] singleton set and pair all
+      -- empty docs at jaccard 1.0
+      WHERE trim(text, E' \\t\\n\\r\\f') <> ''
     ), sh AS (
       SELECT doc_id, list_distinct(CASE WHEN len(w) < 2
                THEN [array_to_string(w, ' ')]

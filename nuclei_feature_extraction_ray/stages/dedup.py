@@ -45,25 +45,37 @@ def _empty(cols: dict) -> pd.DataFrame:
 # Exact dedup
 # ---------------------------------------------------------------------------
 
+#: independent second SipHash key -> effective 128-bit content hash
+_H2_KEY = "9f8e7d6c5b4a3210"
+
+
 def exact_dedup(ds, content_col: str, id_col: str,
                 keep_content: bool = False, num_partitions: int = 32):
     """Keep one deterministic winner (min id) per distinct content
-    value; emits (id, n_copies). The shuffle key is the 64-bit content
-    hash, so only (id, hash) move; the winner is min(id), so block
-    order and task retries cannot change the result."""
+    value; emits (id, n_copies). The shuffle key is a 128-bit content
+    hash (two independently-keyed SipHash64 runs), so only (id, 16
+    bytes) move per row; the winner is min(id), so block order and
+    task retries cannot change the result. Collision bound: birthday
+    over 2^128 is ~2^64 docs — safe at the billions-of-docs scale
+    where a single 64-bit hash would start silently merging distinct
+    documents (~2^32 birthday)."""
     cols = [content_col, id_col] if keep_content else [id_col]
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = hash64(batch[content_col].to_numpy(zero_copy_only=False))
+        vals = batch[content_col].to_numpy(zero_copy_only=False)
+        h = hash64(vals)
+        h2 = pd.util.hash_array(np.asarray(vals, dtype=object),
+                                hash_key=_H2_KEY, categorize=False)
         batch = batch.append_column("__h", pa.array(h.astype(np.int64)))
-        return batch.select(cols + ["__h"])
+        batch = batch.append_column("__h2",
+                                    pa.array(h2.astype(np.int64)))
+        return batch.select(cols + ["__h", "__h2"])
 
     def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")
-        gb = g.groupby("__h", sort=False)
+        gb = g.groupby(["__h", "__h2"], sort=False)
         out = gb.head(1)[cols].copy()
-        out["n_copies"] = gb.size().reindex(
-            gb.head(1)["__h"]).to_numpy(np.int64)
+        out["n_copies"] = gb.size().to_numpy(np.int64)
         return out
 
     ds = ds.select_columns([content_col, id_col]) \

@@ -7,8 +7,8 @@ Semantics / leakage: every kernel is TRAILING-only — row i sees rows of
 the same entity with ``ts <= ts_i`` (and earlier position on ties). The
 partition is sorted before kernels run, so the "watermark" is simply the
 scan cursor: no later row can retroactively change an emitted value, a
-property the leakage test (tests/test_leakage.py) verifies by prefix
-recomputation.
+property the leakage property test (tests/test_pipeline.py) verifies by
+prefix recomputation.
 
 All kernels take ONE sorted partition frame (many entities) and
 vectorize across entities with pandas groupby (C implementation);
@@ -74,8 +74,10 @@ def row_window_lefts(codes: np.ndarray, window: int) -> np.ndarray:
 
 def time_window_lefts(codes: np.ndarray, ts_us: np.ndarray,
                       span_us: int) -> np.ndarray:
-    """Left bound of the trailing time window (ts in (ts_i - span, ts_i]),
-    never crossing an entity boundary. Vectorized via the offset trick:
+    """Left bound of the trailing time window — CLOSED-left
+    ``[ts_i - span, ts_i]`` (searchsorted side="left"; state/deque.py
+    agrees), never crossing an entity boundary. Vectorized via the
+    offset trick:
     each segment's timestamps are shifted onto a private int64 range
     separated by > span, so ONE global searchsorted respects segments.
     """
@@ -142,8 +144,8 @@ def add_rolling_rows(g: pd.DataFrame, key: str, col: str, window: int,
 def add_rolling_time(g: pd.DataFrame, key: str, ts_col: str, col: str,
                      span: pd.Timedelta, prefix: str) -> pd.DataFrame:
     """Trailing TIME-window aggregates (rows with ts in
-    (ts_i - span, ts_i]) per entity — variable-width windows, the case
-    the reference's fixed pixel windows never hit."""
+    [ts_i - span, ts_i], closed-left) per entity — variable-width
+    windows, the case the reference's fixed pixel windows never hit."""
     codes = segment_codes(g[key].to_numpy())
     ts_us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
     lefts = time_window_lefts(codes, ts_us,

@@ -32,6 +32,11 @@ def _docs_with_near_dups():
     # exact dup
     texts.append(texts[1])
     ids.append(200)
+    # degenerate: empty + whitespace-only docs must produce NO
+    # near-dup pairs (shingle set is empty; the SQL oracle's WHERE
+    # clause matches this — ADVICE.md jaccard empty-doc item)
+    texts.extend(["", "   \t "])
+    ids.extend([300, 301])
     return pa.table({"doc_id": pa.array(ids, pa.int64()),
                      "text": pa.array(texts, pa.string())})
 
@@ -49,7 +54,7 @@ def test_segment_pairs_nonmonotonic_grouped_keys():
 def test_exact_dedup_keeps_min_id():
     ds = rd.from_arrow(_docs_with_near_dups())
     out = exact_dedup(ds, "text", "doc_id").to_pandas()
-    assert len(out) == 43                      # 44 docs, one exact dup
+    assert len(out) == 45                      # 46 docs, one exact dup
     row = out[out["n_copies"] == 2]
     assert len(row) == 1 and row["doc_id"].iloc[0] == 1
 
@@ -61,6 +66,9 @@ def test_jaccard_and_minhash_find_planted_pairs():
     got_exact = set(map(tuple, exact[["a", "b"]].to_numpy()))
     planted = {(0, 100), (5, 101), (10, 102), (1, 200)}
     assert planted <= got_exact
+    # empty / whitespace-only docs never pair (engine == oracle WHERE)
+    assert not {a for a, _ in got_exact} & {300, 301}
+    assert not {b for _, b in got_exact} & {300, 301}
 
     lsh = minhash_lsh_pairs(ds, "text", "doc_id", ngram=2,
                             threshold=0.5).to_pandas()

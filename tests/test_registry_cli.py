@@ -57,14 +57,41 @@ def test_family_subset_pipeline():
 
 def test_write_read_formats(tmp_path):
     ds = rd.from_items([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
-    for fmt in ("parquet", "csv", "json"):
+    for fmt in ("parquet", "csv", "json", "ipc"):
         d = str(tmp_path / fmt)
         write_table(ds, d, fmt)
         assert os.path.isdir(d) and os.listdir(d)
     back = read_table(str(tmp_path / "parquet"))
     assert back.count() == 2
     with pytest.raises(ValueError, match="unsupported output format"):
-        write_table(ds, str(tmp_path / "zz"), "ipc")
+        write_table(ds, str(tmp_path / "zz"), "orc")
+
+
+def test_ipc_round_trip(tmp_path):
+    # reference's 4th output format (src/main.rs:175-182): feather/ipc
+    df = pd.DataFrame({"a": np.arange(50, dtype=np.int64),
+                       "b": ["s%d" % i for i in range(50)],
+                       "c": np.linspace(0, 1, 50)})
+    ds = rd.from_pandas(df)
+    d = str(tmp_path / "ipc_rt")
+    write_table(ds, d, "feather")
+    back = read_table(d, "feather").to_pandas() \
+        .sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
+
+
+def test_combine_partials_guard():
+    import ray.data
+    from nuclei_feature_extraction_ray.pipelines import queries as q
+    small = ray.data.from_pandas(pd.DataFrame(
+        {"k": ["a", "b", "a"], "v": [1, 2, 3]}))
+    out = q._combine_partials(small, ["k"], ["v"])
+    assert out.set_index("k")["v"].to_dict() == {"a": 4, "b": 2}
+    big = ray.data.range(q._COMBINE_MAX_ROWS + 10).map_batches(
+        lambda b: pd.DataFrame({"k": b["id"], "v": 1}),
+        batch_format="pandas")
+    with pytest.raises(ValueError, match="cardinality is too high"):
+        q._combine_partials(big, ["k"], ["v"])
 
 
 def test_overwrite_guard(tmp_path):
