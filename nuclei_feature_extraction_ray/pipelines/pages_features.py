@@ -143,27 +143,185 @@ def _needs_texture(families: list[str] | None) -> bool:
     return any(f.name in TEXTURE_FAMILY_NAMES for f in fams)
 
 
+#: salting defaults: a url is "hot" above this many rows (a healthy
+#: partition's worth); its rows are split into time buckets of
+#: SALT_SPAN with ROLLING_SPAN of left overlap.
+HOT_THRESHOLD = 50_000
+SALT_SPAN = 4 * ROLLING_SPAN
+
+
+def _prepare_salted(pages_ds, hot: dict, num_partitions: int,
+                    concurrency):
+    """Phase 1 of salting: bucket summaries of the hot urls' rows ->
+    exact per-(url, bucket) carries, broadcast via ray.put. Returns
+    (carry_ref, span_us)."""
+    import ray
+
+    from ..stages import salt as salt_mod
+    span_us = int(SALT_SPAN.value // 1000)
+    hot_set = pa.array(sorted(hot), pa.string())
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch["url"], value_set=hot_set))
+
+    hot_pages = pages_ds.map_batches(only_hot, batch_format="pyarrow")
+    hot_ds = extract_stage(hot_pages, concurrency=concurrency,
+                           texture=False)
+    hot_ds = salt_mod.add_bucket(hot_ds, span_us)
+    summary = salt_mod.bucket_summaries(
+        hot_ds, SESSION_GAP.total_seconds(), num_partitions)
+    carries = salt_mod.build_carries(summary, SESSION_GAP.total_seconds())
+    return ray.put(carries), span_us
+
+
+def _assign_salted(ds, hot: dict, num_partitions: int, span_us: int):
+    """Tag every row with (PART_COL, __bucket, __own); EMIT the
+    left-overlap copies for hot rows (own=False). Cold rows keep the
+    plain url-hash partitioning; hot cells map into ids >= P."""
+    overlap_us = int(ROLLING_SPAN.value // 1000)
+    hot_set = pa.array(sorted(hot), pa.string())
+    P = num_partitions
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        urls = batch["url"].to_numpy(zero_copy_only=False)
+        ts = batch["warc_ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        hotm = pc.is_in(batch["url"], value_set=hot_set) \
+            .to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            part = (hash64(urls) % np.uint64(P)).astype(np.int64)
+            bucket = np.full(len(urls), -1, np.int64)
+            if hotm.any():
+                hu = hash64(urls[hotm])
+                b = ts[hotm] // span_us
+                bucket[hotm] = b
+                part[hotm] = P + ((hu * np.uint64(1000003)
+                                   + b.astype(np.uint64))
+                                  % np.uint64(P)).astype(np.int64)
+        own = np.ones(len(urls), bool)
+        batch = batch.append_column("__bucket", pa.array(bucket))
+        out = batch.append_column(PART_COL, pa.array(part)) \
+                   .append_column("__own", pa.array(own))
+        # overlap copies -> next bucket, own=False
+        ov = hotm & (ts % span_us >= span_us - overlap_us)
+        if ov.any():
+            idx = np.nonzero(ov)[0]
+            cp = batch.take(idx)
+            with np.errstate(over="ignore"):
+                hu = hash64(urls[idx])
+                b1 = ts[idx] // span_us + 1
+                cpart = P + ((hu * np.uint64(1000003)
+                              + b1.astype(np.uint64))
+                             % np.uint64(P)).astype(np.int64)
+            cp = cp.set_column(cp.schema.get_field_index("__bucket"),
+                               "__bucket", pa.array(b1))
+            cp = cp.append_column(PART_COL, pa.array(cpart)) \
+                   .append_column("__own",
+                                  pa.array(np.zeros(len(idx), bool)))
+            out = pa.concat_tables([out, cp])
+        return out
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _featurize_rows(g: pd.DataFrame, families, num_partitions: int,
+                    carries, out_cols) -> pd.DataFrame:
+    """Features for a frame of rows that may mix normal partitions
+    (PART_COL < P, or no salting columns at all) and salted hot cells
+    (PART_COL >= P, grouped by (url, __bucket) with carries)."""
+    from ..stages.salt import _EMPTY_CARRY, salted_bucket_features
+    drop = [c for c in ("__bucket", "__own", PART_COL)
+            if c in g.columns]
+    if carries is None or PART_COL not in g.columns:
+        return partition_features(g.drop(columns=drop),
+                                  families=families)
+    parts = []
+    dropped = 0
+    norm = g[g[PART_COL] < num_partitions]
+    if len(norm):
+        r = partition_features(norm.drop(columns=drop),
+                               families=families)
+        dropped += r.attrs.get("dropped", 0)
+        parts.append(r)
+    hot_rows = g[g[PART_COL] >= num_partitions]
+    if len(hot_rows):
+        rolling_us = int(ROLLING_SPAN.value // 1000)
+        for (url, b), gp in hot_rows.groupby(
+                ["url", "__bucket"], sort=True):
+            r = salted_bucket_features(
+                gp.drop(columns=[PART_COL]),
+                carries.get((url, int(b)), _EMPTY_CARRY),
+                rolling_us, SESSION_GAP.total_seconds(), out_cols)
+            if r is not None:
+                dropped += r.attrs.get("dropped", 0)
+                parts.append(r)
+    if not parts:
+        out = pd.DataFrame({c: [] for c in out_cols})
+    else:
+        out = pd.concat(parts, ignore_index=True)[out_cols]
+    out.attrs["dropped"] = dropped
+    return out
+
+
+def make_partition_fn(families, num_partitions: int, carry_ref=None):
+    """Per-block feature function: normal rows through
+    partition_features; salted cells through salted_bucket_features."""
+    from ..config import feature_schema
+    out_cols = feature_schema(families or ["all"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        import ray
+        carries = ray.get(carry_ref) if carry_ref is not None else None
+        return _featurize_rows(g, families, num_partitions, carries,
+                               out_cols)
+
+    return fn
+
+
 def compute_features(pages_ds, num_partitions: int = 32,
                      concurrency: int | None = None,
-                     families: list[str] | None = None):
-    """Feature Dataset (no sink) — the flagship transform."""
+                     families: list[str] | None = None,
+                     hot_threshold: int | None = HOT_THRESHOLD):
+    """Feature Dataset (no sink) — the flagship transform. With
+    ``hot_threshold`` set (default), a cheap url-column pre-scan
+    detects partition-breaking urls and routes them through salted
+    time-bucket sub-partitions (stages/salt.py) — byte-identical
+    output, bounded partition sizes."""
     from ..stages.partition import partition_map
     from ..util import configure_context
     configure_context()
+    hot = detect_hot_urls_cached(pages_ds, hot_threshold)
     ds = extract_stage(pages_ds, concurrency=concurrency,
                        texture=_needs_texture(families))
-    ds = with_partition(ds, "url", num_partitions)
+    if not hot:
+        ds = with_partition(ds, "url", num_partitions)
+        return partition_map(
+            ds, [PART_COL], make_partition_fn(families, num_partitions),
+            num_partitions)
+    carry_ref, span_us = _prepare_salted(pages_ds, hot, num_partitions,
+                                         concurrency)
+    ds = _assign_salted(ds, hot, num_partitions, span_us)
     return partition_map(
         ds, [PART_COL],
-        lambda g: partition_features(g, families=families),
-        num_partitions)
+        make_partition_fn(families, num_partitions, carry_ref),
+        num_partitions * 2, drop_part_col=False)
+
+
+def detect_hot_urls_cached(pages_ds, hot_threshold: int | None) -> dict:
+    from ..stages.salt import detect_hot_urls
+    if not hot_threshold:
+        return {}
+    return detect_hot_urls(pages_ds, "url", hot_threshold)
 
 
 def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
                      resume: bool = True,
                      concurrency: int | None = None,
                      emit: str = "manifest",
-                     families: list[str] | None = None):
+                     families: list[str] | None = None,
+                     hot_threshold: int | None = HOT_THRESHOLD):
     """Flagship with the checkpointed sink: each partition commits its
     Parquet + lineage manifest atomically inside the partition task;
     the job's output Dataset is the (tiny) manifest table. On resume,
@@ -180,9 +338,16 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
     configure_context()
     done = committed_parts(out_dir) if resume else set()
 
+    hot = detect_hot_urls_cached(pages_ds, hot_threshold)
     ds = extract_stage(pages_ds, concurrency=concurrency,
                        texture=_needs_texture(families))
-    ds = with_partition(ds, "url", num_partitions)
+    carry_ref = None
+    if hot:
+        carry_ref, span_us = _prepare_salted(
+            pages_ds, hot, num_partitions, concurrency)
+        ds = _assign_salted(ds, hot, num_partitions, span_us)
+    else:
+        ds = with_partition(ds, "url", num_partitions)
     if done:
         import ray
         done_ref = ray.put(frozenset(done))
@@ -198,21 +363,30 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
 
     from ..stages.partition import partition_map
 
+    from ..config import feature_schema
+    out_cols = feature_schema(families or ["all"])
+
     def sink(g: pd.DataFrame) -> pd.DataFrame:
         # One block may hold several (whole) hash partitions; each is
         # committed independently so resume granularity stays per-part.
+        import ray
+        carries = ray.get(carry_ref) if carry_ref is not None else None
         rows = []
         feats = []
         for part, gp in g.groupby(PART_COL, sort=True):
-            out = partition_features(gp.drop(columns=[PART_COL]),
-                                     families=families)
+            out = _featurize_rows(gp, families, num_partitions,
+                                  carries, out_cols)
             dropped = out.attrs.get("dropped", 0)
             watermark = (str(out["warc_ts"].max()) if len(out) else None)
+            salted = bool(part >= num_partitions)
             man = commit_partition(
                 out_dir, int(part),
                 pa.Table.from_pandas(out, preserve_index=False),
                 key_cols=["url", "warc_ts"], dropped_rows=dropped,
-                extra={"watermark": watermark})
+                extra={"watermark": watermark, "salted": salted,
+                       **({"salted_cells": int(
+                           gp.groupby(["url", "__bucket"]).ngroups)}
+                          if salted else {})})
             rows.append({"partition": np.int64(part),
                          "rows": np.int64(man["rows"]),
                          "dropped_rows": np.int64(man["dropped_rows"]),
@@ -233,7 +407,8 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
                 "key_checksum": pd.Series(dtype=object)})
         return pd.DataFrame(rows)
 
-    return partition_map(ds, [PART_COL], sink, num_partitions,
+    return partition_map(ds, [PART_COL], sink,
+                         num_partitions * (2 if hot else 1),
                          drop_part_col=False)
 
 

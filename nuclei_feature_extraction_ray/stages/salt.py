@@ -1,0 +1,266 @@
+"""Hot-entity salting for the flagship windowed feature pipeline —
+SURVEY.md §7 hard part (b) made real: a url with partition-breaking
+snapshot volume is split across TIME-BUCKET sub-partitions, each
+extended LEFT by the rolling-window span (overlap), while a tiny
+per-(url, bucket) CARRY table supplies the cross-bucket state the
+overlap cannot: global row ordinals (snap_idx), session numbering,
+entity first-timestamp, and the last-K rows needed by lag/lang-
+stability kernels. The result is byte-identical to the unsalted
+computation (proven in tests/test_salt.py) because:
+
+* rolling sums are over integer-valued columns (exact in float64, so
+  bucket-local prefix sums equal entity-global ones);
+* min/max/count are order-independent;
+* every other feature depends only on the row, its predecessor(s) —
+  provided by the carry — or exact integer ordinals.
+
+Pipeline shape (no extra pass over cold data):
+
+  detect_hot_urls: one pruned url-column scan, per-batch local
+      heavy-hitter counts (>= min_local) -> tiny driver combine.
+  phase 1 (hot rows only): extract -> partition by (url, bucket) ->
+      per-bucket local summaries (counts, session starts, last-K) ->
+      driver chains buckets in time order into exact carries -> ray.put.
+  main pass: one assign map tags every row with (partition, bucket,
+      own) and EMITS the overlap copies; the single hash exchange then
+      delivers normal partitions (ids < P) and salted cells (ids >= P)
+      to the same partition_map, which branches per row group.
+
+Detection is a heavy-hitter approximation: a key whose occurrences
+never reach ``min_local`` in any batch is invisible — with the default
+threshold (50k rows) such a key would have to be scattered across
+thousands of blocks, at which point it isn't skewing any partition.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash64
+from .window import windowed_stats
+
+#: last-K rows carried across bucket boundaries (lang_stab_5 lookback)
+K_LAST = 5
+
+_EMPTY_CARRY = {"rows_before": 0, "sessions_before": 0,
+                "first_ts": None, "prev5": []}
+
+
+def detect_hot_urls(ds, key_col: str, threshold: int,
+                    min_local: int = 8) -> dict:
+    """{key: estimated_count} for keys with >= threshold total rows.
+    One vectorized value_counts per batch, keeping only local heavy
+    hitters so the driver combine stays bounded (<= rows/min_local)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch[key_col])
+        keys = vc.field("values")
+        counts = pc.cast(vc.field("counts"), pa.int64())
+        mask = pc.greater_equal(counts, pa.scalar(min_local, pa.int64()))
+        return pa.table({"k": keys.filter(mask),
+                         "n": counts.filter(mask)})
+
+    pdf = ds.select_columns([key_col]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    if len(pdf) == 0:
+        return {}
+    agg = pdf.groupby("k")["n"].sum()
+    return {k: int(v) for k, v in agg[agg >= threshold].items()}
+
+
+def _kept(g: pd.DataFrame) -> pd.DataFrame:
+    """The pipeline's canonical keep-rule (pages_features
+    partition_features): sort (warc_ts, html_hash), dedup (url,
+    warc_ts) keep-first, then drop failed extracts."""
+    g = g.sort_values(["warc_ts", "html_hash"], kind="mergesort")
+    g = g.drop_duplicates(["url", "warc_ts"], keep="first")
+    return g[g["extract_ok"]]
+
+
+def add_bucket(ds, span_us: int):
+    """Attach ``__bucket = warc_ts_us // span_us`` (absolute grid)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ts = batch["warc_ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return batch.append_column("__bucket",
+                                   pa.array(ts // span_us))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bucket_summaries(hot_ds, gap_sec: float, num_partitions: int):
+    """Phase 1: per-(url, bucket) local summary over KEPT rows. Needs
+    columns (url, warc_ts, html_hash, extract_ok, lang, n_chars,
+    __bucket). Returns a small pandas frame on the driver."""
+    from .partition import partition_map
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (url, b), gp in g.groupby(["url", "__bucket"], sort=True):
+            gp = _kept(gp)
+            if len(gp) == 0:
+                continue
+            ts = gp["warc_ts"].to_numpy("datetime64[us]") \
+                .astype(np.int64)
+            gaps = np.diff(ts) / 1e6
+            tail = gp.tail(K_LAST)
+            tts = tail["warc_ts"].to_numpy("datetime64[us]") \
+                .astype(np.int64)
+            last5 = json.dumps(
+                [[int(t), str(l), int(nc)] for t, l, nc in
+                 zip(tts, tail["lang"], tail["n_chars"])])
+            rows.append({"url": url, "bucket": int(b),
+                         "n": len(gp),
+                         "first_ts": int(ts[0]), "last_ts": int(ts[-1]),
+                         "starts": int((gaps > gap_sec).sum()),
+                         "last5": last5})
+        if not rows:
+            return pd.DataFrame({
+                "url": pd.Series(dtype=object),
+                "bucket": pd.Series(dtype=np.int64),
+                "n": pd.Series(dtype=np.int64),
+                "first_ts": pd.Series(dtype=np.int64),
+                "last_ts": pd.Series(dtype=np.int64),
+                "starts": pd.Series(dtype=np.int64),
+                "last5": pd.Series(dtype=object)})
+        return pd.DataFrame(rows)
+
+    cols = ["url", "warc_ts", "html_hash", "extract_ok", "lang",
+            "n_chars", "__bucket"]
+    return partition_map(hot_ds.select_columns(cols),
+                         ["url", "__bucket"], fn,
+                         num_partitions).to_pandas()
+
+
+def build_carries(summary: pd.DataFrame, gap_sec: float) -> dict:
+    """Driver-side exact chain over each hot url's buckets in time
+    order -> {(url, bucket): carry}. O(n_hot * n_buckets), tiny."""
+    carries: dict = {}
+    for url, gu in summary.groupby("url", sort=False):
+        gu = gu.sort_values("bucket")
+        rows_before = 0
+        sessions_before = 0
+        first_ts = None
+        prev5: list = []
+        for r in gu.itertuples():
+            carries[(url, int(r.bucket))] = {
+                "rows_before": rows_before,
+                "sessions_before": sessions_before,
+                "first_ts": first_ts,
+                "prev5": list(prev5),
+            }
+            prev_ts = prev5[-1][0] if prev5 else None
+            new0 = 1 if (prev_ts is None
+                         or (int(r.first_ts) - prev_ts) / 1e6
+                         > gap_sec) else 0
+            sessions_before += int(r.starts) + new0
+            rows_before += int(r.n)
+            if first_ts is None:
+                first_ts = int(r.first_ts)
+            prev5 = (prev5 + json.loads(r.last5))[-K_LAST:]
+    return carries
+
+
+def salted_bucket_features(gp: pd.DataFrame, carry: dict,
+                           span_us: int, gap_sec: float,
+                           out_cols: list[str]) -> pd.DataFrame | None:
+    """Features for the OWNED rows of one (hot url, bucket) cell.
+    ``gp`` holds owned rows plus the left-overlap copies (__own flag).
+    Byte-identical to the unsalted kernels (see module docstring)."""
+    gp = gp.sort_values(["warc_ts", "html_hash"], kind="mergesort")
+    gp = gp.drop_duplicates(["url", "warc_ts"], keep="first")
+    dropped = int((~gp["extract_ok"]
+                   & gp["__own"].astype(bool)).sum())
+    gp = gp[gp["extract_ok"]]
+    own = gp["__own"].to_numpy(dtype=bool)
+    n_own = int(own.sum())
+    if n_own == 0:
+        if dropped == 0:
+            return None
+        empty = pd.DataFrame({c: [] for c in out_cols})
+        empty.attrs["dropped"] = dropped
+        return empty
+    ts_us = gp["warc_ts"].to_numpy("datetime64[us]").astype(np.int64)
+    nch = gp["n_chars"].to_numpy(np.float64)
+
+    # rolling time window over overlap+own (the proven recipe,
+    # stages/window.salted_time_windows)
+    lefts = np.searchsorted(ts_us, ts_us - span_us, side="left")
+    st = windowed_stats(nch, lefts)
+
+    prev5 = carry["prev5"]
+    prev_ts = prev5[-1][0] if prev5 else None
+    prev_lang = prev5[-1][1] if prev5 else None
+    prev_nch = prev5[-1][2] if prev5 else None
+    rows_before = carry["rows_before"]
+
+    own_rows = gp[own]
+    ts_own = ts_us[own]
+    nch_own = own_rows["n_chars"].to_numpy(np.float64)
+    langs_own = own_rows["lang"].to_numpy(dtype=object)
+
+    out = own_rows[[c for c in out_cols
+                    if c in own_rows.columns]].copy()
+    out = out.reset_index(drop=True)
+
+    # temporal ---------------------------------------------------------
+    out["snap_idx"] = rows_before + np.arange(n_own, dtype=np.int64)
+    gap = np.empty(n_own)
+    gap[0] = np.nan if prev_ts is None else (ts_own[0] - prev_ts) / 1e6
+    if n_own > 1:
+        gap[1:] = np.diff(ts_own) / 1e6
+    out["gap_sec"] = gap
+    delta = np.empty(n_own)
+    delta[0] = np.nan if prev_nch is None else nch_own[0] - prev_nch
+    if n_own > 1:
+        delta[1:] = np.diff(nch_own)
+    out["delta_n_chars"] = delta
+    first_ts = carry["first_ts"] if carry["first_ts"] is not None \
+        else int(ts_own[0])
+    out["days_since_first"] = ((ts_own - first_ts) / 1e6) / 86400.0
+    for k in ("min", "max", "mean", "count"):
+        out["r30_" + k] = st[k][own]
+
+    # session ----------------------------------------------------------
+    new = np.empty(n_own, dtype=np.int64)
+    new[0] = 1 if (prev_ts is None or gap[0] > gap_sec) else 0
+    if n_own > 1:
+        new[1:] = (gap[1:] > gap_sec).astype(np.int64)
+    out["session_id"] = (carry["sessions_before"]
+                         + np.cumsum(new) - 1).astype(np.int64)
+
+    # lang -------------------------------------------------------------
+    prev_langs = np.asarray([p[1] for p in prev5], dtype=object)
+    langs_ext = np.concatenate([prev_langs, langs_own]) \
+        if len(prev_langs) else langs_own
+    npv = len(prev_langs)
+    if npv == 0:
+        changed = np.zeros(n_own, np.int64)
+        if n_own > 1:
+            changed[1:] = (langs_own[1:] != langs_own[:-1]) \
+                .astype(np.int64)
+    else:
+        changed = (langs_ext[npv - 1 + np.arange(n_own)]
+                   != langs_own).astype(np.int64)
+    out["lang_changed"] = changed
+    gi = rows_before + np.arange(n_own)
+    same = np.zeros(n_own, np.float64)
+    avail = np.zeros(n_own, np.float64)
+    for j in range(K_LAST):
+        ok = (gi - j) >= 0
+        pos = npv + np.arange(n_own) - j
+        pos_c = np.clip(pos, 0, len(langs_ext) - 1)
+        same += ok & (langs_ext[pos_c] == langs_own)
+        avail += ok
+    out["lang_stab_5"] = np.divide(
+        same, avail, out=np.full(n_own, np.nan), where=avail > 0)
+
+    out = out[out_cols]
+    out.attrs["dropped"] = dropped
+    return out
