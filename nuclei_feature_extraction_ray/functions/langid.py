@@ -63,3 +63,58 @@ def langid_frame(texts: pd.Series) -> pd.DataFrame:
             preds[i], conf[i] = best[0], min(1.0, best[1])
     return pd.DataFrame({"pred_lang": preds,
                          "lang_confidence": conf}, index=texts.index)
+
+
+def langid_sql(table: str = "documents") -> str:
+    """DuckDB oracle mirroring ``langid_frame`` expression-for-
+    expression (same division shapes -> identical doubles; the
+    rounding uses the shared half-away formula, texture._sql_r6).
+    RE2's ``\\p{L}+`` stands in for Python's ``[^\\W\\d_]+`` — equal on
+    the letter repertoire this corpus uses."""
+    from .texture import _sql_r6
+
+    def cnt(cls: str) -> str:
+        return ("(length(text) - length(regexp_replace(text, '%s', "
+                "'', 'g'))) * 1.0" % cls)
+
+    def stop(lang: str) -> str:
+        words = ", ".join("'%s'" % w for w in sorted(_STOPWORDS[lang]))
+        return ("coalesce(list_sum(list_transform(toks, t -> CASE "
+                "WHEN t IN (%s) THEN 1 ELSE 0 END)), 0) / nt" % words)
+
+    conf_expr = """CASE
+      WHEN n = 0 THEN 0.0
+      WHEN cjk / n > 0.05 THEN least(1.0, cjk / n * 4)
+      WHEN ara / n > 0.05 THEN least(1.0, ara / n * 4)
+      WHEN greatest(s_de, s_en, s_fr) > 0
+        THEN least(1.0, greatest(s_de, s_en, s_fr))
+      ELSE 0.0 END"""
+    return """WITH base AS (
+  SELECT doc_id, text, length(text) * 1.0 AS n,
+         {cjk} AS cjk, {ara} AS ara, {dech} AS dech, {frch} AS frch,
+         regexp_extract_all(lower(text), '\\p{{L}}+') AS toks
+  FROM {t}),
+nt_t AS (SELECT *, greatest(1, len(toks)) * 1.0 AS nt FROM base),
+sc AS (
+  SELECT doc_id, n, cjk, ara,
+         {s_en} AS s_en,
+         {s_de} + ((2.0 * dech) / n) * 10 AS s_de,
+         {s_fr} + ((2.0 * frch) / n) * 10 AS s_fr
+  FROM nt_t)
+SELECT doc_id,
+  CASE
+    WHEN n = 0 THEN 'und'
+    WHEN cjk / n > 0.05 THEN 'zh'
+    WHEN ara / n > 0.05 THEN 'ar'
+    WHEN greatest(s_de, s_en, s_fr) <= 0 THEN 'und'
+    WHEN s_de >= s_en AND s_de >= s_fr THEN 'de'
+    WHEN s_en >= s_fr THEN 'en'
+    ELSE 'fr' END AS pred_lang,
+  {conf} AS lang_confidence
+FROM sc""".format(
+        t=table,
+        cjk=cnt("[一-鿿]"), ara=cnt("[؀-ۿ]"),
+        dech=cnt("[äöüßÄÖÜ]"),
+        frch=cnt("[àâçéèêëîïôùûœÀÂÇÉÈÊËÎÏÔÙÛ]"),
+        s_en=stop("en"), s_de=stop("de"), s_fr=stop("fr"),
+        conf=_sql_r6(conf_expr))

@@ -25,7 +25,7 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import winnow_fingerprint
-from ..functions.langid import langid_frame
+from ..functions.langid import langid_frame, langid_sql
 from ..functions.quality import quality_frame, quality_sql
 from ..functions.text_stats import text_stats_frame, text_stats_sql
 from ..functions.texture import (cooc_sql, runlen_sql, spectrum_sql,
@@ -287,14 +287,19 @@ def simhash_pairs(sf_dir: str):
     return dedup_mod.simhash_pairs(ds, "text", "doc_id", max_hamming=3)
 
 
-@register("doc_langid")  # heuristic model -> rows-only check
+@register("doc_langid", sql=langid_sql())
 def doc_langid(sf_dir: str):
+    """Heuristic lang-ID with a full SQL oracle: the scoring is pure
+    arithmetic over regex counts + fixed stopword lists, mirrored
+    expression-for-expression in functions/langid.langid_sql."""
+    from ..functions.texture import r6
     ds = rd.read_parquet(_path(sf_dir, "documents"),
                          columns=["doc_id", "text"])
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         out = langid_frame(batch["text"])
-        out["lang_confidence"] = out["lang_confidence"].round(6)
+        out["lang_confidence"] = r6(
+            out["lang_confidence"].to_numpy(np.float64))
         out.insert(0, "doc_id", batch["doc_id"].to_numpy())
         return out
 
