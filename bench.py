@@ -62,9 +62,8 @@ def run_headline(num_partitions: int = 32) -> dict:
 
     from nuclei_feature_extraction_ray.corpus import corpus_dir
     from nuclei_feature_extraction_ray.pipelines.pages_features import (
-        probe_features, run_checkpointed)
-    from nuclei_feature_extraction_ray.state.manifest import (
-        read_output, summarize)
+        probe_features_from_checkpoint, run_checkpointed)
+    from nuclei_feature_extraction_ray.state.manifest import summarize
 
     cdir = corpus_dir(BENCH_SCALE)
     pages_path = os.path.join(cdir, "pages")
@@ -98,10 +97,12 @@ def run_headline(num_partitions: int = 32) -> dict:
         # hash shuffles compete for the same aggregator pool.)
         run_checkpointed(pages, feat_dir, num_partitions=num_partitions,
                          resume=False).materialize()
-        feats = read_output(feat_dir)
         probes = rd.read_parquet(probes_path)
-        probe_features(feats, probes,
-                       num_partitions=num_partitions) \
+        # exploits the checkpoint's url-hash partitioning: only the
+        # probe table is exchanged, each task merges against its
+        # part=<id> parquet locally
+        probe_features_from_checkpoint(
+            feat_dir, probes, num_partitions=num_partitions) \
             .write_parquet(probe_dir)
         sec = time.perf_counter() - t0
         s = summarize(feat_dir)

@@ -145,8 +145,25 @@ def _cooc_block(sizes: np.ndarray, flat: np.ndarray) -> pd.DataFrame:
 
     for q in COOC_QUANTS:
         cls = np.minimum(flat, q) - 1         # 0-based class per token
-        ii = np.arange(q).reshape(1, q, 1).astype(np.float64)
-        jj = np.arange(q).reshape(1, 1, q).astype(np.float64)
+        ii = np.repeat(np.arange(q), q).astype(np.float64)   # flat i
+        jj = np.tile(np.arange(q), q).astype(np.float64)     # flat j
+        # All weighted sums below are EXACT integer-valued (counts x
+        # integer weights) and go through ONE BLAS matmul, followed by
+        # a single division (or a deterministic k-ordered fold for
+        # IDM), so the pre-rounding double is bit-identical to the
+        # DuckDB oracle regardless of either engine's aggregation
+        # order (integer sums are order-exact in float64).
+        wmat = np.stack([
+            (ii - jj) ** 2,            # contrast
+            np.abs(ii - jj),           # dissimilarity
+            ii + jj,                   # sum_average
+            ii,                        # Sa
+            ii * ii,                   # Saa
+            ii * jj,                   # Sab
+        ], axis=1)                                          # (q*q, 6)
+        kind = np.abs(ii - jj).astype(np.int64)
+        kmat = np.zeros((q * q, q))
+        kmat[np.arange(q * q), kind] = 1.0                  # (q*q, q)
         for d in COOC_DISTS:
             valid = pos + d < end_per_pos
             docs_v = doc_idx[valid]
@@ -156,39 +173,33 @@ def _cooc_block(sizes: np.ndarray, flat: np.ndarray) -> pd.DataFrame:
             m = np.bincount(codes, minlength=n_docs * q * q) \
                 .reshape(n_docs, q, q).astype(np.float64)
             m = m + m.transpose(0, 2, 1)       # symmetric (texture.rs:46)
-            # All stats below are written as EXACT integer-valued sums
-            # over cell counts followed by one division (or a
-            # deterministic k-ordered fold for IDM) so the pre-rounding
-            # double is bit-identical to the DuckDB oracle regardless
-            # of either engine's aggregation order.
-            tot = m.sum(axis=(1, 2))
+            mf = m.reshape(n_docs, q * q)
+            tot = mf.sum(axis=1)
             has = tot > 0
             tots = np.where(has, tot, 1.0)
             with np.errstate(divide="ignore", invalid="ignore"):
-                contrast = (m * (ii - jj) ** 2).sum(axis=(1, 2)) / tots
-                dissim = (m * np.abs(ii - jj)).sum(axis=(1, 2)) / tots
-                asm = (m * m).sum(axis=(1, 2)) / (tots * tots)
-                maxp = m.max(axis=(1, 2)) / tots
-                sumavg = (m * (ii + jj)).sum(axis=(1, 2)) / tots
+                sums = mf @ wmat                            # (n, 6)
+                contrast = sums[:, 0] / tots
+                dissim = sums[:, 1] / tots
+                sumavg = sums[:, 2] / tots
+                asm = (mf * mf).sum(axis=1) / (tots * tots)
+                maxp = mf.max(axis=1) / tots
                 # IDM: fold counts grouped by k = |i-j| in ascending k
                 # (the oracle writes the same explicit left-to-right sum)
-                kmat = np.abs(ii - jj)
+                ck = mf @ kmat                              # (n, q)
                 idm_s = np.zeros(n_docs)
                 for k in range(q):
-                    ck = (m * (kmat == k)).sum(axis=(1, 2))
-                    idm_s = idm_s + ck / (1.0 + k * k)
+                    idm_s = idm_s + ck[:, k] / (1.0 + k * k)
                 idm = idm_s / tots
                 # entropy = log2(tot) - sum(c*log2(c))/tot (same form
                 # in the oracle; c = 0 and c = 1 terms contribute 0)
-                clog = np.where(m > 0, m * np.log2(np.where(m > 0, m, 1.0)),
-                                0.0).sum(axis=(1, 2))
+                pos_m = mf > 1          # c == 1 contributes 0 anyway
+                clog = np.where(pos_m, mf * np.log2(
+                    np.where(pos_m, mf, 1.0)), 0.0).sum(axis=1)
                 ent = np.log2(tots) - clog / tots
-                sa = (m * ii).sum(axis=(1, 2))
-                saa = (m * ii * ii).sum(axis=(1, 2))
-                sab = (m * ii * jj).sum(axis=(1, 2))
-                mu = sa / tots
-                sig2 = saa / tots - mu * mu
-                cov = sab / tots - mu * mu
+                mu = sums[:, 3] / tots
+                sig2 = sums[:, 4] / tots - mu * mu
+                cov = sums[:, 5] / tots - mu * mu
                 # degenerate: a single occupied class -> sigma == 0
                 nnz = ((m.sum(axis=2) > 0).sum(axis=1))
                 corr_ok = has & (nnz > 1)
@@ -213,75 +224,117 @@ def _cooc_block(sizes: np.ndarray, flat: np.ndarray) -> pd.DataFrame:
 _RL_RES = [(g, re.compile(pat)) for g, pat in RL_CLASSES]
 
 
+def _char_class_runs(s: pd.Series):
+    """(docv, g, l) arrays of all char-class runs, fully vectorized:
+    the batch's text is encoded once as UTF-32 (one uint32 per code
+    point, so positions == character offsets), classes come from
+    vectorized range tests, and runs from one diff over the class
+    array with doc boundaries forcing breaks. Semantics identical to
+    per-class regex findall (maximal same-class runs)."""
+    lens = s.str.len().to_numpy(np.int64)
+    total = int(lens.sum())
+    n_docs = len(s)
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    codes = np.frombuffer("".join(s.tolist()).encode("utf-32-le"),
+                          np.uint32)
+    cls = np.full(total, 4, np.int8)                      # other
+    cls[((codes >= 65) & (codes <= 90))
+        | ((codes >= 97) & (codes <= 122))] = 1           # alpha
+    cls[(codes >= 48) & (codes <= 57)] = 2                # digit
+    for w in (32, 9, 10, 13, 12):
+        cls[codes == w] = 3                               # whitespace
+    ends = np.cumsum(lens)
+    is_start = np.zeros(total, bool)
+    is_start[0] = True
+    starts_of_docs = ends[:-1][ends[:-1] < total]
+    is_start[starts_of_docs] = True
+    change = np.empty(total, bool)
+    change[0] = True
+    change[1:] = (cls[1:] != cls[:-1])
+    change |= is_start
+    run_starts = np.nonzero(change)[0]
+    run_ends = np.append(run_starts[1:], total)
+    l = np.minimum(run_ends - run_starts, RL_MAXLEN)
+    g = cls[run_starts].astype(np.int64)
+    docv = np.searchsorted(ends, run_starts, side="right")
+    return docv, g, l.astype(np.int64)
+
+
+#: order of the 14 weighted run sums (cooperates with runlen_sql)
+_RL_WEIGHT_NAMES = ["sre", "lre", "lgre", "hgre", "srlge", "srhge",
+                    "lrlge", "lrhge", "srmge", "lrmge", "srege",
+                    "lrege", "l", "l2"]
+
+
+def _rl_weights() -> np.ndarray:
+    """(64, 14) weight grid, g-major / l-minor cell order."""
+    gv = np.repeat(np.arange(1, 5), RL_MAXLEN).astype(np.float64)
+    lv = np.tile(np.arange(1, RL_MAXLEN + 1), 4).astype(np.float64)
+    mid = 1.0 / (1.0 + (gv - RL_CENTER) ** 2)
+    ext = (gv - RL_CENTER) ** 2
+    il2 = 1.0 / (lv * lv)
+    l2 = lv * lv
+    ig2 = 1.0 / (gv * gv)
+    g2 = gv * gv
+    return np.stack([il2, l2, ig2, g2, ig2 * il2, g2 * il2, ig2 * l2,
+                     g2 * l2, mid * il2, mid * l2, ext * il2,
+                     ext * l2, lv, l2], axis=1)
+
+
 def _runlen_block(texts: pd.Series) -> pd.DataFrame:
     s = texts.fillna("")
     n_docs = len(s)
-    docv_parts, g_parts, l_parts = [], [], []
-    for g, rx in _RL_RES:
-        runs = [rx.findall(t) for t in s]
-        counts = np.fromiter((len(r) for r in runs), np.int64,
-                             count=n_docs)
-        if counts.sum() == 0:
-            continue
-        docv_parts.append(np.repeat(np.arange(n_docs), counts))
-        g_parts.append(np.full(int(counts.sum()), g, np.int64))
-        l_parts.append(np.fromiter(
-            (min(len(x), RL_MAXLEN) for r in runs for x in r),
-            np.int64))
+    docv, g_arr, l_arr = _char_class_runs(s)
     out: dict[str, np.ndarray] = {}
-    if not docv_parts:
+    if len(docv) == 0:
         for c in RUNLEN_COLUMNS:
             out[c] = np.full(n_docs, np.nan)
         return pd.DataFrame(out)
-    docv = np.concatenate(docv_parts)
-    gf = np.concatenate(g_parts).astype(np.float64)
-    lf = np.concatenate(l_parts).astype(np.float64)
-
-    nr = np.bincount(docv, minlength=n_docs).astype(np.float64)
+    # Aggregate runs into per-doc (g, l) cell counts with ONE integer
+    # bincount, then fold every weighted sum over the 64 cells in
+    # DETERMINISTIC g-major/l-minor order — the SQL oracle writes the
+    # same explicit left-to-right 64-term sum, so inexact weights
+    # (1/9, 2.25/25, ...) accumulate identically in both engines and
+    # can never straddle a rounding boundary.
+    ncell = 4 * RL_MAXLEN
+    cell = (g_arr - 1) * RL_MAXLEN + (l_arr - 1)
+    R = np.bincount(docv * ncell + cell,
+                    minlength=n_docs * ncell) \
+        .reshape(n_docs, ncell).astype(np.float64)
+    W = _rl_weights()                                    # (64, 14)
+    S = np.zeros((n_docs, 14))
+    for j in range(ncell):
+        S += R[:, j:j + 1] * W[j]                        # ordered fold
+    nr = R.sum(axis=1)
     has = nr > 0
-
-    def acc(w: np.ndarray) -> np.ndarray:
-        return np.bincount(docv, weights=w, minlength=n_docs)
-
-    mid = 1.0 / (1.0 + (gf - RL_CENTER) ** 2)
-    ext = (gf - RL_CENTER) ** 2
-    il2 = 1.0 / (lf * lf)
-    l2 = lf * lf
-    ig2 = 1.0 / (gf * gf)
-    g2 = gf * gf
-
-    # per-(doc, g) and per-(doc, l) counts for the nonuniformities
-    gcnt = np.bincount(docv * 5 + np.concatenate(g_parts),
-                       minlength=n_docs * 5).reshape(n_docs, 5)
-    lcnt = np.bincount(docv * (RL_MAXLEN + 1) + np.concatenate(l_parts),
-                       minlength=n_docs * (RL_MAXLEN + 1)) \
-        .reshape(n_docs, RL_MAXLEN + 1)
+    gcnt = R.reshape(n_docs, 4, RL_MAXLEN).sum(axis=2)
+    lcnt = R.reshape(n_docs, 4, RL_MAXLEN).sum(axis=1)
     n_chars = s.str.len().to_numpy(np.float64)
 
     with np.errstate(divide="ignore", invalid="ignore"):
         nr_s = np.where(has, nr, np.nan)
         vals = {
-            "short_run_emphasis": acc(il2) / nr_s,
-            "long_run_emphasis": acc(l2) / nr_s,
-            "gray_level_nonuniformity":
-                (gcnt.astype(np.float64) ** 2).sum(axis=1) / nr_s,
-            "run_length_nonuniformity":
-                (lcnt.astype(np.float64) ** 2).sum(axis=1) / nr_s,
-            "low_gray_level_run_emphasis": acc(ig2) / nr_s,
-            "high_gray_level_run_emphasis": acc(g2) / nr_s,
-            "short_run_low_gray_level_emphasis": acc(ig2 * il2) / nr_s,
-            "short_run_high_gray_level_emphasis": acc(g2 * il2) / nr_s,
-            "long_run_low_gray_level_emphasis": acc(ig2 * l2) / nr_s,
-            "long_run_high_gray_level_emphasis": acc(g2 * l2) / nr_s,
-            "short_run_mid_gray_level_emphasis": acc(mid * il2) / nr_s,
-            "long_run_mid_gray_level_emphasis": acc(mid * l2) / nr_s,
-            "short_run_extreme_gray_level_emphasis": acc(ext * il2) / nr_s,
-            "long_run_extreme_gray_level_emphasis": acc(ext * l2) / nr_s,
+            "short_run_emphasis": S[:, 0] / nr_s,
+            "long_run_emphasis": S[:, 1] / nr_s,
+            "gray_level_nonuniformity": (gcnt ** 2).sum(axis=1) / nr_s,
+            "run_length_nonuniformity": (lcnt ** 2).sum(axis=1) / nr_s,
+            "low_gray_level_run_emphasis": S[:, 2] / nr_s,
+            "high_gray_level_run_emphasis": S[:, 3] / nr_s,
+            "short_run_low_gray_level_emphasis": S[:, 4] / nr_s,
+            "short_run_high_gray_level_emphasis": S[:, 5] / nr_s,
+            "long_run_low_gray_level_emphasis": S[:, 6] / nr_s,
+            "long_run_high_gray_level_emphasis": S[:, 7] / nr_s,
+            "short_run_mid_gray_level_emphasis": S[:, 8] / nr_s,
+            "long_run_mid_gray_level_emphasis": S[:, 9] / nr_s,
+            "short_run_extreme_gray_level_emphasis": S[:, 10] / nr_s,
+            "long_run_extreme_gray_level_emphasis": S[:, 11] / nr_s,
             "run_percentage": nr_s / n_chars,
-            "run_length_mean": acc(lf) / nr_s,
+            "run_length_mean": S[:, 12] / nr_s,
         }
         mean_l = vals["run_length_mean"]
-        vals["run_length_variance"] = acc(l2) / nr_s - mean_l * mean_l
+        vals["run_length_variance"] = S[:, 13] / nr_s - mean_l * mean_l
     for name in RL_STATS:
         out["rl_" + name] = r6(vals[name])
     return pd.DataFrame(out)
@@ -381,7 +434,7 @@ def cooc_sql(table: str = "documents") -> str:
             # so doubles match the engine bit-for-bit.
             idm_terms = " + ".join(
                 "sum(CASE WHEN abs(a-b) = {k} THEN c ELSE 0 END) / {w}"
-                .format(k=k, w="%.1f" % (1.0 + k * k)) for k in range(q))
+                .format(k=k, w=1 + k * k) for k in range(q))
             ctes.append("""cells_{tag} AS (
   SELECT doc_id, a, b, count(*) AS c FROM (
     SELECT doc_id, least(la,{q})-1 AS a, least(lb,{q})-1 AS b FROM p{d}
@@ -391,18 +444,18 @@ def cooc_sql(table: str = "documents") -> str:
             ctes.append("""st_{tag} AS (
   SELECT doc_id,
     CASE WHEN min(a) = max(a) THEN NULL ELSE
-      (sum(c*a*b) / (sum(c)*1.0)
-         - (sum(c*a) / (sum(c)*1.0)) * (sum(c*a) / (sum(c)*1.0)))
-      / (sum(c*a*a) / (sum(c)*1.0)
-         - (sum(c*a) / (sum(c)*1.0)) * (sum(c*a) / (sum(c)*1.0)))
+      (sum(c*a*b) / CAST(sum(c) AS DOUBLE)
+         - (sum(c*a) / CAST(sum(c) AS DOUBLE)) * (sum(c*a) / CAST(sum(c) AS DOUBLE)))
+      / (sum(c*a*a) / CAST(sum(c) AS DOUBLE)
+         - (sum(c*a) / CAST(sum(c) AS DOUBLE)) * (sum(c*a) / CAST(sum(c) AS DOUBLE)))
       END AS correlation,
-    sum(c*(a-b)*(a-b)) / (sum(c)*1.0) AS contrast,
-    sum(c*abs(a-b)) / (sum(c)*1.0) AS dissimilarity,
-    log2(sum(c)*1.0) - sum(c*log2(c*1.0)) / (sum(c)*1.0) AS entropy,
-    sum(c*c) / (sum(c)*1.0*sum(c)) AS angular_second_moment,
-    sum(c*(a+b)) / (sum(c)*1.0) AS sum_average,
-    ({idm}) / (sum(c)*1.0) AS inverse_difference_moment,
-    max(c) / (sum(c)*1.0) AS max_prob
+    sum(c*(a-b)*(a-b)) / CAST(sum(c) AS DOUBLE) AS contrast,
+    sum(c*abs(a-b)) / CAST(sum(c) AS DOUBLE) AS dissimilarity,
+    log2(CAST(sum(c) AS DOUBLE)) - sum(c*log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE) AS entropy,
+    sum(c*c) / (CAST(sum(c) AS DOUBLE)*sum(c)) AS angular_second_moment,
+    sum(c*(a+b)) / CAST(sum(c) AS DOUBLE) AS sum_average,
+    ({idm}) / CAST(sum(c) AS DOUBLE) AS inverse_difference_moment,
+    max(c) / CAST(sum(c) AS DOUBLE) AS max_prob
   FROM cells_{tag} GROUP BY doc_id)""".format(tag=tag, idm=idm_terms))
             for s in COOC_STATS:
                 selects.append("%s AS cooc_%s_d%d_q%d"
@@ -420,18 +473,24 @@ def runlen_sql(table: str = "documents") -> str:
         "regexp_extract_all(text, '{p}'), s -> least(length(s), {m}))) "
         "AS l FROM {t}".format(g=g, p=pat, m=RL_MAXLEN, t=table)
         for g, pat in RL_CLASSES)
-    c = RL_CENTER
-    base_sums = """
-    count(*) * 1.0 AS nr,
-    sum(1.0/(l*l)) AS s_sre, sum(1.0*l*l) AS s_lre,
-    sum(1.0/(g*g)) AS s_lgre, sum(1.0*g*g) AS s_hgre,
-    sum(1.0/(g*g*l*l)) AS s_srlge, sum(1.0*g*g/(l*l)) AS s_srhge,
-    sum(1.0*l*l/(g*g)) AS s_lrlge, sum(1.0*g*g*l*l) AS s_lrhge,
-    sum(1.0/((1+(g-{c})*(g-{c}))*l*l)) AS s_srmge,
-    sum(1.0*l*l/(1+(g-{c})*(g-{c}))) AS s_lrmge,
-    sum((g-{c})*(g-{c})/(l*l)) AS s_srege,
-    sum((g-{c})*(g-{c})*l*l) AS s_lrege,
-    sum(1.0*l) AS s_l, sum(1.0*l*l) AS s_l2""".format(c=c)
+    # every weighted sum is the engine's exact 64-cell left-to-right
+    # fold: sum(CASE cell)*weight + ... in g-major/l-minor order, with
+    # weights emitted via repr (shortest round-trip decimal -> the
+    # same double the engine computes)
+    W = _rl_weights()
+    gs = np.repeat(np.arange(1, 5), RL_MAXLEN)
+    ls = np.tile(np.arange(1, RL_MAXLEN + 1), 4)
+
+    def fold(col: int) -> str:
+        return " + ".join(
+            "sum(CASE WHEN g = {g} AND l = {l} THEN c ELSE 0 END) "
+            "* CAST({w!r} AS DOUBLE)".format(g=int(gs[j]), l=int(ls[j]),
+                                             w=float(W[j, col]))
+            for j in range(len(gs)))
+
+    base_sums = ("CAST(sum(c) AS DOUBLE) AS nr, " + ", ".join(
+        "(%s) AS s_%s" % (fold(i), name)
+        for i, name in enumerate(_RL_WEIGHT_NAMES)))
     pairs = [
         ("short_run_emphasis", "b.s_sre/b.nr"),
         ("long_run_emphasis", "b.s_lre/b.nr"),
@@ -455,12 +514,13 @@ def runlen_sql(table: str = "documents") -> str:
     selects = ", ".join("%s AS rl_%s" % (_sql_r6(expr), name)
                         for name, expr in pairs)
     return """WITH r0 AS ({unions}),
-base AS (SELECT doc_id, {sums} FROM r0 GROUP BY doc_id),
+cells AS (SELECT doc_id, g, l, count(*) AS c FROM r0 GROUP BY 1,2,3),
+base AS (SELECT doc_id, {sums} FROM cells GROUP BY doc_id),
 gt AS (SELECT doc_id, sum(cnt*cnt) AS s FROM
-  (SELECT doc_id, g, count(*)*1.0 AS cnt FROM r0 GROUP BY 1,2)
+  (SELECT doc_id, g, CAST(sum(c) AS DOUBLE) AS cnt FROM cells GROUP BY 1,2)
   GROUP BY doc_id),
 rt AS (SELECT doc_id, sum(cnt*cnt) AS s FROM
-  (SELECT doc_id, l, count(*)*1.0 AS cnt FROM r0 GROUP BY 1,2)
+  (SELECT doc_id, l, CAST(sum(c) AS DOUBLE) AS cnt FROM cells GROUP BY 1,2)
   GROUP BY doc_id)
 SELECT dd.doc_id, {selects}
 FROM {t} dd LEFT JOIN base b USING(doc_id)
@@ -481,7 +541,7 @@ def spectrum_sql(table: str = "documents") -> str:
             "ELSE {r} END AS spec_lag{l}_corr"
             .format(l=lag, r=_sql_r6("(%s) / var" % cov)))
     return """WITH tokx AS (SELECT doc_id, {tokx} AS x FROM {t}),
-st AS (SELECT doc_id, x, len(x) AS n, list_sum(x)*1.0/len(x) AS m
+st AS (SELECT doc_id, x, len(x) AS n, CAST(list_sum(x) AS DOUBLE)/len(x) AS m
        FROM tokx WHERE len(x) > 0),
 v AS (SELECT doc_id, x, n, m,
       list_sum(list_transform(x, e -> (e-m)*(e-m)))/n AS var FROM st)

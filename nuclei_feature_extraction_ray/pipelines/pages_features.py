@@ -28,6 +28,8 @@ north_rule extension the reference lacks (SURVEY.md §2.4, §2.8).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -148,6 +150,55 @@ def _needs_texture(families: list[str] | None) -> bool:
 #: SALT_SPAN with ROLLING_SPAN of left overlap.
 HOT_THRESHOLD = 50_000
 SALT_SPAN = 4 * ROLLING_SPAN
+
+#: The per-row numeric feature columns are PACKED into one
+#: FixedSizeList column for the url-hash exchange: Ray's hash shuffle
+#: pays per column per partition per block, and 80+ separate float
+#: columns were measured 3x slower to exchange than one packed column
+#: of the same bytes. Ints round-trip exactly through float64
+#: (counts << 2^53).
+_INT_PACK = {"n_chars", "n_bytes", "n_lines", "n_tokens"}
+_FV = "__fv"
+
+
+def _pack_cols(texture: bool) -> list[str]:
+    return STAT_COLUMNS + (TEXTURE_COLUMNS if texture else [])
+
+
+def pack_features(ds, texture: bool = True):
+    cols = _pack_cols(texture)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        mat = np.column_stack(
+            [batch[c].to_numpy(zero_copy_only=False)
+             .astype(np.float64) for c in cols])
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1)), mat.shape[1])
+        return batch.drop_columns(cols).append_column(_FV, arr)
+
+    return ds.map_batches(pack, batch_format="pyarrow")
+
+
+def make_unpack_features(texture: bool = True):
+    cols = _pack_cols(texture)
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        if _FV not in batch.column_names:
+            return batch
+        fv = batch[_FV]
+        arr = fv.combine_chunks() if isinstance(fv, pa.ChunkedArray) \
+            else fv
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(batch), len(cols))
+        batch = batch.drop_columns([_FV])
+        for i, c in enumerate(cols):
+            col = np.ascontiguousarray(mat[:, i])
+            if c in _INT_PACK:
+                col = col.astype(np.int64)
+            batch = batch.append_column(c, pa.array(col))
+        return batch
+
+    return unpack
 
 
 def _prepare_salted(pages_ds, hot: dict, num_partitions: int,
@@ -293,20 +344,22 @@ def compute_features(pages_ds, num_partitions: int = 32,
     from ..util import configure_context
     configure_context()
     hot = detect_hot_urls_cached(pages_ds, hot_threshold)
-    ds = extract_stage(pages_ds, concurrency=concurrency,
-                       texture=_needs_texture(families))
+    tex = _needs_texture(families)
+    ds = extract_stage(pages_ds, concurrency=concurrency, texture=tex)
+    ds = pack_features(ds, texture=tex)
+    unpack = make_unpack_features(texture=tex)
     if not hot:
         ds = with_partition(ds, "url", num_partitions)
         return partition_map(
             ds, [PART_COL], make_partition_fn(families, num_partitions),
-            num_partitions)
+            num_partitions, arrow_pre_fn=unpack)
     carry_ref, span_us = _prepare_salted(pages_ds, hot, num_partitions,
                                          concurrency)
     ds = _assign_salted(ds, hot, num_partitions, span_us)
     return partition_map(
         ds, [PART_COL],
         make_partition_fn(families, num_partitions, carry_ref),
-        num_partitions * 2, drop_part_col=False)
+        num_partitions * 2, drop_part_col=False, arrow_pre_fn=unpack)
 
 
 def detect_hot_urls_cached(pages_ds, hot_threshold: int | None) -> dict:
@@ -339,8 +392,10 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
     done = committed_parts(out_dir) if resume else set()
 
     hot = detect_hot_urls_cached(pages_ds, hot_threshold)
-    ds = extract_stage(pages_ds, concurrency=concurrency,
-                       texture=_needs_texture(families))
+    tex = _needs_texture(families)
+    ds = extract_stage(pages_ds, concurrency=concurrency, texture=tex)
+    ds = pack_features(ds, texture=tex)
+    unpack = make_unpack_features(texture=tex)
     carry_ref = None
     if hot:
         carry_ref, span_us = _prepare_salted(
@@ -409,7 +464,7 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
 
     return partition_map(ds, [PART_COL], sink,
                          num_partitions * (2 if hot else 1),
-                         drop_part_col=False)
+                         drop_part_col=False, arrow_pre_fn=unpack)
 
 
 def probe_features(features_ds, probes_ds, num_partitions: int = 32,
@@ -422,3 +477,56 @@ def probe_features(features_ds, probes_ds, num_partitions: int = 32,
     return asof_join(probes_ds, features_ds, key="url",
                      probe_ts="query_ts", snap_ts="warc_ts",
                      value_cols=vals, num_partitions=num_partitions)
+
+
+def probe_features_from_checkpoint(feat_dir: str, probes_ds,
+                                   num_partitions: int = 32,
+                                   value_cols: list[str] | None = None):
+    """As-of probe serve that EXPLOITS the checkpoint layout: the
+    committed feature table is already hash-partitioned by url, so
+    only the (tiny) probe table is exchanged — each partition task
+    reads its ``part=<id>/data.parquet`` locally and runs the C merge.
+    The wide feature table never crosses a shuffle (measured 10+ s for
+    the 87-column exchange at 200k rows that this avoids).
+
+    Falls back to the generic exchange join when the checkpoint holds
+    salted partitions (a hot url's snapshots span time buckets, so a
+    probe may need an earlier bucket's rows).
+    """
+    import pyarrow.parquet as pq
+
+    from ..stages.asof import local_asof_merge
+    from ..stages.partition import partition_map
+    from ..state.manifest import committed_parts, part_dir, read_output
+    from ..util import configure_context
+    configure_context()
+    parts = committed_parts(feat_dir)
+    if any(p >= num_partitions for p in parts):
+        return probe_features(read_output(feat_dir), probes_ds,
+                              num_partitions, value_cols)
+    vals = value_cols or [c for c in FEATURE_COLUMNS
+                          if c not in ("url", "warc_ts")]
+    probe_cols = list(probes_ds.schema().names)
+    out_cols = probe_cols + ["warc_ts"] + vals
+    probes = with_partition(probes_ds, "url", num_partitions)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for part, gp in g.groupby(PART_COL, sort=True):
+            fp = os.path.join(part_dir(feat_dir, int(part)),
+                              "data.parquet")
+            pr = gp.drop(columns=[PART_COL])
+            if os.path.exists(fp):
+                sn = pq.read_table(
+                    fp, columns=["url", "warc_ts"] + vals).to_pandas()
+            else:
+                sn = pd.DataFrame(columns=["url", "warc_ts"] + vals)
+            outs.append(local_asof_merge(
+                pr, sn, "url", "query_ts", "warc_ts", vals,
+                probe_cols))
+        if not outs:
+            return pd.DataFrame({c: [] for c in out_cols})
+        return pd.concat(outs, ignore_index=True)
+
+    return partition_map(probes, [PART_COL], fn, num_partitions,
+                         drop_part_col=False)

@@ -101,18 +101,51 @@ def asof_join(probes, snapshots, key: str, probe_ts: str, snap_ts: str,
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         pr = g[g[_SIDE] == 0]
         sn = g[g[_SIDE] == 1]
-        pr = pr.sort_values([probe_ts, key], kind="mergesort")
-        if len(sn) == 0:
-            return restore(pr[out_cols].copy()) if len(pr) \
-                else pd.DataFrame(
-                    {c: pd.Series(dtype=probe_dtypes.get(c, g[c].dtype))
-                     for c in out_cols})
-        sn = sn.sort_values([snap_ts, key], kind="mergesort")
-        merged = pd.merge_asof(
-            pr[probe_cols], sn[[key, snap_ts] + value_cols],
-            left_on=probe_ts, right_on=snap_ts, by=key,
-            direction="backward", allow_exact_matches=True,
-            tolerance=tolerance)
-        return restore(merged[out_cols])
+        if len(sn) == 0 and len(pr) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=probe_dtypes.get(c, g[c].dtype))
+                 for c in out_cols})
+        return restore(local_asof_merge(
+            pr, sn, key, probe_ts, snap_ts, value_cols, probe_cols,
+            tolerance=tolerance))
 
     return partition_map(both, [key], merge, num_partitions)
+
+
+def local_asof_merge(pr: pd.DataFrame, sn: pd.DataFrame, key: str,
+                     probe_ts: str, snap_ts: str,
+                     value_cols: list[str],
+                     probe_cols: list[str],
+                     tolerance: pd.Timedelta | None = None
+                     ) -> pd.DataFrame:
+    """Single-partition backward as-of merge. The snapshot side can be
+    very wide (e.g. the 80+-column feature table): sorting/merging the
+    full frame would copy every column for every snapshot row, so the
+    C merge runs on a NARROW (key, ts, row-index) frame and the wide
+    value columns are gathered once, only for the matched rows."""
+    out_cols = probe_cols + [snap_ts] + value_cols
+    pr = pr.sort_values([probe_ts, key], kind="mergesort")
+    if len(sn) == 0:
+        out = pr[probe_cols].reset_index(drop=True)
+        out[snap_ts] = pd.Series(pd.NaT, index=out.index,
+                                 dtype=pr[probe_ts].dtype) \
+            if np.issubdtype(pr[probe_ts].dtype, np.datetime64) \
+            else np.nan
+        for c in value_cols:
+            out[c] = np.nan
+        return out[out_cols]
+    sn = sn.reset_index(drop=True)
+    sn_keys = sn[[key, snap_ts]].copy()
+    sn_keys["__i"] = np.arange(len(sn), dtype=np.int64)
+    sn_keys = sn_keys.sort_values([snap_ts, key], kind="mergesort")
+    merged = pd.merge_asof(
+        pr[probe_cols], sn_keys,
+        left_on=probe_ts, right_on=snap_ts, by=key,
+        direction="backward", allow_exact_matches=True,
+        tolerance=tolerance)
+    vals = sn[value_cols].reindex(merged["__i"].to_numpy()) \
+        .reset_index(drop=True)
+    out = pd.concat(
+        [merged[probe_cols + [snap_ts]].reset_index(drop=True),
+         vals], axis=1)
+    return out[out_cols]

@@ -36,6 +36,9 @@ from .partition import partition_map
 
 _EMPTY_PAIRS = {"a": np.int64, "b": np.int64}
 
+#: broadcast the signature table when it is below this (else keyed join)
+SIG_BROADCAST_MAX_BYTES = 256 << 20
+
 
 def _empty(cols: dict) -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
@@ -297,6 +300,54 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
     pairs = partition_map(cand, ["bucket"], bucket_pairs_part,
                           num_partitions)
     pairs = partition_map(pairs, ["a", "b"], uniq_part, num_partitions)
+
+    # Two verification tiers. The signature table is 8*(k+1) bytes per
+    # doc; when it fits comfortably in a worker heap it is broadcast
+    # ONCE (ray.put) and pairs verify map-side with zero extra
+    # shuffles. Above the cap, signatures are attached by two keyed
+    # exchanges — the scale path (pairs + 512B sigs only on the wire).
+    n_docs_total = sigs_ds.count()
+    if n_docs_total * (num_hashes + 1) * 8 <= SIG_BROADCAST_MAX_BYTES:
+        import ray
+
+        def to_mat(t: pa.Table):
+            ids = t["doc"].to_numpy(zero_copy_only=False)
+            m = np.vstack([np.frombuffer(b, np.uint64)
+                           for b in t["sig"].to_pylist()]) \
+                if len(t) else np.empty((0, num_hashes), np.uint64)
+            return ids, m
+
+        tabs = [ray.get(r) for r in sigs_ds.to_arrow_refs()]
+        parts = [to_mat(t) for t in tabs if t.num_rows]
+        all_ids = np.concatenate([p[0] for p in parts]) if parts \
+            else np.empty(0, np.int64)
+        all_sig = np.vstack([p[1] for p in parts]) if parts \
+            else np.empty((0, num_hashes), np.uint64)
+        order = np.argsort(all_ids, kind="stable")
+        sig_ref = ray.put((all_ids[order], all_sig[order]))
+
+        class Estimate:
+            def __init__(self):
+                self.ids, self.sig = ray.get(sig_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if len(batch) == 0:
+                    return pa.table({
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "jaccard_est": pa.array([], pa.float64())})
+                a = batch["a"].to_numpy(zero_copy_only=False)
+                b = batch["b"].to_numpy(zero_copy_only=False)
+                ia = np.searchsorted(self.ids, a)
+                ib = np.searchsorted(self.ids, b)
+                est = (self.sig[ia] == self.sig[ib]).mean(axis=1)
+                keep = est >= threshold
+                return pa.table({"a": pa.array(a[keep]),
+                                 "b": pa.array(b[keep]),
+                                 "jaccard_est": pa.array(est[keep])})
+
+        return pairs.map_batches(Estimate, batch_format="pyarrow",
+                                 concurrency=2)
 
     pairs = _attach_sig(pairs, sigs_ds, "a", "sig_a",
                         {"a": pa.int64(), "b": pa.int64()},

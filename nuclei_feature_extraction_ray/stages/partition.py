@@ -103,7 +103,8 @@ def keyed_repartition(ds, keys: list[str], num_partitions: int):
 
 def partition_map(ds, keys: list[str], fn, num_partitions: int,
                   sort_cols: list[str] | None = None,
-                  drop_part_col: bool = True):
+                  drop_part_col: bool = True,
+                  arrow_pre_fn=None):
     """Co-locate all rows sharing ``keys`` and run ``fn`` once per
     partition over a pandas frame of MANY whole key-groups.
 
@@ -114,6 +115,12 @@ def partition_map(ds, keys: list[str], fn, num_partitions: int,
       aggregator actors would starve the pipeline): derive a coarse
       ``hash(keys) % P`` column and ``groupby(part).map_groups`` — P
       Python calls, never one per fine key value.
+
+    ``arrow_pre_fn``: optional row-local pyarrow transform applied
+    around the exchange (after it on the hash path, before it on the
+    fallback) — used to unpack columns that were packed to keep the
+    exchange narrow (the hash shuffle pays per column per partition
+    per block).
     """
     from ray.data.context import ShuffleStrategy
 
@@ -132,8 +139,13 @@ def partition_map(ds, keys: list[str], fn, num_partitions: int,
     if global_ctx.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE:
         ds = ds.repartition(num_blocks=num_partitions, keys=keys,
                             sort=False)
+        if arrow_pre_fn is not None:
+            ds = ds.map_batches(arrow_pre_fn, batch_format="pyarrow",
+                                batch_size=None)
         return ds.map_batches(apply, batch_format="pandas",
                               batch_size=None)
+    if arrow_pre_fn is not None:
+        ds = ds.map_batches(arrow_pre_fn, batch_format="pyarrow")
 
     # sort-shuffle fallback: coarse partition column (P groups -> P
     # Python calls; never one per fine key value)

@@ -91,11 +91,14 @@ def commit_partition(out_dir: str, part: int, table: pa.Table,
 
 
 def read_output(out_dir: str):
-    """The committed output as a Dataset (one file per partition)."""
+    """The committed output as a Dataset (one file per partition).
+    ``partitioning=None``: the ``part=<id>`` directory names are sink
+    layout, not hive partition columns — without this the read would
+    inject a spurious ``part`` column into the schema."""
     import ray.data as rd
     files = [os.path.join(part_dir(out_dir, p), "data.parquet")
              for p in sorted(committed_parts(out_dir))]
-    return rd.read_parquet(files)
+    return rd.read_parquet(files, partitioning=None)
 
 
 def summarize(out_dir: str) -> dict:

@@ -85,6 +85,22 @@ def test_jaccard_and_minhash_find_planted_pairs():
     assert dup["jaccard_est"].iloc[0] == 1.0
 
 
+def test_minhash_keyed_join_tier(monkeypatch):
+    """Force the large-corpus path (signatures attached by keyed
+    exchanges instead of broadcast): identical output."""
+    from nuclei_feature_extraction_ray.stages import dedup as dd
+    ds = rd.from_arrow(_docs_with_near_dups())
+    small = minhash_lsh_pairs(ds, "text", "doc_id", ngram=2,
+                              threshold=0.5).to_pandas()
+    monkeypatch.setattr(dd, "SIG_BROADCAST_MAX_BYTES", 0)
+    big = minhash_lsh_pairs(ds, "text", "doc_id", ngram=2,
+                            threshold=0.5).to_pandas()
+    k = ["a", "b"]
+    pd.testing.assert_frame_equal(
+        small.sort_values(k).reset_index(drop=True),
+        big.sort_values(k).reset_index(drop=True))
+
+
 def test_simhash_finds_exact_dup():
     ds = rd.from_arrow(_docs_with_near_dups())
     out = simhash_pairs(ds, "text", "doc_id", max_hamming=3).to_pandas()

@@ -132,6 +132,31 @@ def test_asof_probe_features_match_merge_asof(pages_tbl, feats):
     assert got["warc_ts"].isna().sum() == want["warc_ts"].isna().sum() > 0
 
 
+def test_probe_features_from_checkpoint_matches_generic(
+        pages_tbl, tmp_path):
+    """The checkpoint-aware probe join (probe-only shuffle + local
+    merge against part=<id> parquet) must equal the generic exchange
+    join row-for-row."""
+    from nuclei_feature_extraction_ray.pipelines.pages_features import (
+        probe_features_from_checkpoint, run_checkpointed)
+    from nuclei_feature_extraction_ray.state.manifest import read_output
+    probes_tbl = generate_probes(pages_tbl, 80)
+    ds = rd.from_arrow(pages_tbl.select(["url", "warc_ts", "html",
+                                         "lang"]))
+    out = str(tmp_path / "ckpt_probe")
+    run_checkpointed(ds, out, num_partitions=4,
+                     resume=False).materialize()
+    fast = probe_features_from_checkpoint(
+        out, rd.from_arrow(probes_tbl), num_partitions=4).to_pandas()
+    slow = probe_features(read_output(out), rd.from_arrow(probes_tbl),
+                          num_partitions=4).to_pandas()
+    k = ["url", "query_ts"]
+    pd.testing.assert_frame_equal(
+        fast.sort_values(k).reset_index(drop=True),
+        slow.sort_values(k).reset_index(drop=True)[fast.columns],
+        check_dtype=False)
+
+
 # -- checkpointed sink / resume (SURVEY.md §5 item 5) -----------------------
 
 def _write_corpus(tmp_path, tbl) -> str:
