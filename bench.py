@@ -35,7 +35,8 @@ HEADLINE_ONLY = os.environ.get("BENCH_HEADLINE_ONLY") == "1"
 # verification is quadratic in near-dup cluster size — the scale path
 # is minhash_pairs, which IS benched).
 BENCH_QUERIES = [
-    "doc_stats", "doc_quality", "lang_profile", "token_totals",
+    "doc_stats", "doc_quality", "doc_cooc", "doc_runlen",
+    "doc_spectrum", "lang_profile", "token_totals",
     "dedup_exact", "minhash_pairs", "simhash_pairs", "doc_langid",
     "doc_fingerprint", "lag_lead", "rolling_stats", "sessionize",
     "session_stats", "asof_quote", "backfill", "time_slice",

@@ -115,7 +115,8 @@ def _texture_families() -> dict[str, "_Family"]:
 FAMILIES: dict[str, _Family] = {
     "structure": _Family("structure",
                          ["n_chars", "n_bytes", "n_lines", "n_tokens",
-                          "mean_token_len", "ttr"], _structure),
+                          "mean_token_len", "ttr",
+                          "degenerate_class"], _structure),
     "charclass": _Family("charclass",
                          ["alpha_ratio", "digit_ratio", "upper_ratio",
                           "ws_ratio", "other_ratio"], _structure),

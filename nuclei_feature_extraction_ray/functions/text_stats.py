@@ -27,9 +27,22 @@ WS_CLASS = r"[ \t\n\r\f]"
 #: list (cf. reference constant-grid schema, src/features/texture.rs:82-157).
 STAT_COLUMNS = [
     "n_chars", "n_bytes", "n_lines", "n_tokens", "mean_token_len",
-    "ttr", "alpha_ratio", "digit_ratio", "upper_ratio", "ws_ratio",
-    "other_ratio",
+    "ttr", "degenerate_class", "alpha_ratio", "digit_ratio",
+    "upper_ratio", "ws_ratio", "other_ratio",
 ]
+
+#: Degenerate-input taxonomy — the graft analog of the reference's
+#: per-class NaN bail-outs in ``src/features/shape.rs:142-207`` (empty
+#: mask / NaN covariance / non-2x2 covariance / Inf covariance): each
+#: degenerate input gets an explicit class code instead of a silent
+#: NaN, so the loss is observable. Precedence is first-match.
+DEGENERATE_CLASSES = {
+    0: "normal",
+    1: "empty",              # no characters        (~ empty mask)
+    2: "whitespace_only",    # no tokens            (~ empty centroid)
+    3: "single_token",       # no pairs/windows     (~ degenerate cov)
+    4: "constant_token_len", # zero variance        (~ zero eigenvalue)
+}
 
 
 def text_stats_frame(texts: pd.Series) -> pd.DataFrame:
@@ -65,12 +78,25 @@ def text_stats_frame(texts: pd.Series) -> pd.DataFrame:
         ws_ratio = np.where(n_chars > 0, ws / denom, np.nan)
         other_ratio = np.where(n_chars > 0, other / denom, np.nan)
 
+    tok_min = np.asarray(
+        [min((len(w) for w in t), default=0) for t in tok_lists],
+        np.int64)
+    tok_max = np.asarray(
+        [max((len(w) for w in t), default=0) for t in tok_lists],
+        np.int64)
+    degenerate = np.zeros(len(s), np.int64)
+    degenerate[(n_tokens > 1) & (tok_min == tok_max)] = 4
+    degenerate[n_tokens == 1] = 3
+    degenerate[(n_chars > 0) & (n_tokens == 0)] = 2
+    degenerate[n_chars == 0] = 1
+
     return pd.DataFrame({
         "n_chars": n_chars, "n_bytes": n_bytes, "n_lines": n_lines,
         "n_tokens": n_tokens, "mean_token_len": mean_token_len,
         "ttr": ttr, "alpha_ratio": alpha_ratio,
         "digit_ratio": digit_ratio, "upper_ratio": upper_ratio,
         "ws_ratio": ws_ratio, "other_ratio": other_ratio,
+        "degenerate_class": degenerate,
     }, index=texts.index)
 
 
@@ -110,4 +136,12 @@ def text_stats_sql(text_expr: str = "text") -> dict[str, str]:
         "ws_ratio": ratio(wsc),
         "other_ratio": ratio("{n} - ({w}) - ({a}) - ({d})".format(
             n=n, w=wsc, a=alpha, d=digit)),
+        "degenerate_class": (
+            "CAST(CASE WHEN {n} = 0 THEN 1 WHEN {tt} = '' THEN 2 "
+            "WHEN ({k}) = 1 THEN 3 "
+            "WHEN list_min({lens}) = list_max({lens}) THEN 4 "
+            "ELSE 0 END AS BIGINT)").format(
+            n=n, tt=trim_t, k=toks,
+            lens=("list_transform(string_split_regex({tt}, '{ws}+'), "
+                  "w -> length(w))").format(tt=trim_t, ws=ws)),
     }

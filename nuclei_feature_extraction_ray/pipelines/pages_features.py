@@ -157,7 +157,8 @@ SALT_SPAN = 4 * ROLLING_SPAN
 #: columns were measured 3x slower to exchange than one packed column
 #: of the same bytes. Ints round-trip exactly through float64
 #: (counts << 2^53).
-_INT_PACK = {"n_chars", "n_bytes", "n_lines", "n_tokens"}
+_INT_PACK = {"n_chars", "n_bytes", "n_lines", "n_tokens",
+             "degenerate_class"}
 _FV = "__fv"
 
 

@@ -687,6 +687,32 @@ def region_orders(sf_dir: str):
 # embeddings: similarity search / near-dup
 # ===========================================================================
 
+@register("custkey_distinct", sql="""
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys
+    FROM orders""")
+def custkey_distinct(sf_dir: str):
+    """Exact distinct count: per-batch local dedup -> hash exchange of
+    unique values only -> per-partition count -> driver sum
+    (functions/sketch.distinct_count)."""
+    from ..functions.sketch import distinct_count
+    ds = rd.read_parquet(_path(sf_dir, "orders"), columns=["o_custkey"])
+    return pd.DataFrame(
+        {"n_custkeys": np.asarray([distinct_count(ds, "o_custkey")],
+                                  np.int64)})
+
+
+@register("custkey_distinct_approx")  # sketch -> rows-only check
+def custkey_distinct_approx(sf_dir: str):
+    """HyperLogLog approximate distinct (p=12, stderr ~1.6%):
+    shuffle-free — 4 KiB register partials, driver max-merge.
+    Accuracy asserted against the exact op in pytest."""
+    from ..functions.sketch import approx_distinct
+    ds = rd.read_parquet(_path(sf_dir, "orders"), columns=["o_custkey"])
+    return pd.DataFrame(
+        {"n_custkeys_approx": np.asarray(
+            [approx_distinct(ds, "o_custkey")], np.int64)})
+
+
 @register("ann_cosine", sql="""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
          s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
