@@ -25,7 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="feature families / aliases (see config.FAMILIES)")
     p.add_argument("--partitions", type=int, default=32)
     p.add_argument("--output-format", default="parquet",
-                   choices=["parquet", "csv", "json"])
+                   choices=["parquet", "csv", "json", "ipc", "feather"])
+    p.add_argument("--hot-threshold", type=int, default=None,
+                   help="rows per url above which the url is salted "
+                        "across time buckets (default: library's "
+                        "HOT_THRESHOLD; 0 disables detection)")
     p.add_argument("--probes", default=None,
                    help="optional (url, query_ts) parquet for as-of serve")
     p.add_argument("--probe-output", default=None)
@@ -54,26 +58,30 @@ def main(argv: list[str] | None = None) -> int:
     try:
         import ray.data as rd
 
-        from .pipelines.pages_features import (probe_features,
-                                               run_checkpointed)
-        from .state.manifest import read_output, summarize
+        from .pipelines.pages_features import (
+            HOT_THRESHOLD, probe_features_from_checkpoint,
+            run_checkpointed)
+        from .state.manifest import summarize
 
+        hot = HOT_THRESHOLD if args.hot_threshold is None \
+            else (args.hot_threshold or None)
         pages = rd.read_parquet(
             args.input, columns=["url", "warc_ts", "html", "lang"])
         run_checkpointed(pages, args.output,
                          num_partitions=args.partitions,
                          resume=args.resume,
-                         families=args.features).materialize()
+                         families=args.features,
+                         hot_threshold=hot).materialize()
         summary = summarize(args.output)
 
         if args.probes:
             from .sources.io import write_table
             probe_out = args.probe_output or args.output + "_probes"
             check_output(probe_out, args.overwrite)
-            feats = read_output(args.output)
             write_table(
-                probe_features(feats, rd.read_parquet(args.probes),
-                               num_partitions=args.partitions),
+                probe_features_from_checkpoint(
+                    args.output, rd.read_parquet(args.probes),
+                    num_partitions=args.partitions),
                 probe_out, args.output_format)
             summary["probe_output"] = probe_out
         print(json.dumps(summary))

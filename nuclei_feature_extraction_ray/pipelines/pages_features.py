@@ -505,6 +505,13 @@ def probe_features_from_checkpoint(feat_dir: str, probes_ds,
     if any(p >= num_partitions for p in parts):
         return probe_features(read_output(feat_dir), probes_ds,
                               num_partitions, value_cols)
+    if value_cols is None and parts:
+        # derive from the checkpoint itself: a families subset writes
+        # a narrower schema than FEATURE_COLUMNS
+        sch = pq.read_schema(os.path.join(
+            part_dir(feat_dir, min(parts)), "data.parquet"))
+        value_cols = [c for c in sch.names
+                      if c not in ("url", "warc_ts")]
     vals = value_cols or [c for c in FEATURE_COLUMNS
                           if c not in ("url", "warc_ts")]
     probe_cols = list(probes_ds.schema().names)
