@@ -63,7 +63,7 @@ def run_headline(num_partitions: int = 32) -> dict:
 
     from nuclei_feature_extraction_ray.corpus import corpus_dir
     from nuclei_feature_extraction_ray.pipelines.pages_features import (
-        probe_features_from_checkpoint, run_checkpointed)
+        finalize_fused_probes, run_checkpointed)
     from nuclei_feature_extraction_ray.state.manifest import summarize
 
     cdir = corpus_dir(BENCH_SCALE)
@@ -96,15 +96,25 @@ def run_headline(num_partitions: int = 32) -> dict:
         # probe join over the committed checkpoint. (A fused
         # emit="features" single job was measured SLOWER: two chained
         # hash shuffles compete for the same aggregator pool.)
-        run_checkpointed(pages, feat_dir, num_partitions=num_partitions,
-                         resume=False).materialize()
         probes = rd.read_parquet(probes_path)
-        # exploits the checkpoint's url-hash partitioning: only the
-        # probe table is exchanged, each task merges against its
-        # part=<id> parquet locally
-        probe_features_from_checkpoint(
-            feat_dir, probes, num_partitions=num_partitions) \
-            .write_parquet(probe_dir)
+        if os.environ.get("BENCH_FUSED", "1") == "1":
+            # fused serve: probes broadcast pre-partitioned; every sink
+            # task as-of joins its slice while the partition's features
+            # are still in memory — one job end-to-end, no re-read
+            run_checkpointed(pages, feat_dir,
+                             num_partitions=num_partitions,
+                             resume=False, probes_ds=probes,
+                             probe_dir=probe_dir).materialize()
+            finalize_fused_probes(probe_dir, probes, num_partitions)
+        else:
+            from nuclei_feature_extraction_ray.pipelines.pages_features \
+                import probe_features_from_checkpoint
+            run_checkpointed(pages, feat_dir,
+                             num_partitions=num_partitions,
+                             resume=False).materialize()
+            probe_features_from_checkpoint(
+                feat_dir, probes, num_partitions=num_partitions) \
+                .write_parquet(probe_dir)
         sec = time.perf_counter() - t0
         s = summarize(feat_dir)
         return {

@@ -271,14 +271,17 @@ def corpus_dir(scale: str, root: str = "/tmp/nfx_corpus") -> str:
     containing a sharded ``pages/`` parquet directory (so a Ray read
     parallelizes — one file reads as one task) plus probes.parquet."""
     n = SCALES[scale] if scale in SCALES else int(scale)
-    d = os.path.join(root, "%s-%d-%d-v2" % (scale, n, SEED))
+    d = os.path.join(root, "%s-%d-%d-v3" % (scale, n, SEED))
     if os.path.isdir(d):
         return d
     pages = generate_pages(n)
     probes = generate_probes(pages, max(50, n // 5))
     os.makedirs(root, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=root)
-    shards = min(32, max(1, len(pages) // 2000))
+    # enough shards that the fused read->extract tasks run several
+    # waves per CPU (one-task-per-CPU packing makes the 32-CPU level
+    # straggler-bound and wrecks measured scaling efficiency)
+    shards = min(192, max(1, len(pages) // 2000))
     os.makedirs(os.path.join(tmp, "pages"))
     step = (len(pages) + shards - 1) // shards
     for i in range(shards):

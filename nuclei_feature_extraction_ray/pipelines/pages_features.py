@@ -375,7 +375,8 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
                      concurrency: int | None = None,
                      emit: str = "manifest",
                      families: list[str] | None = None,
-                     hot_threshold: int | None = HOT_THRESHOLD):
+                     hot_threshold: int | None = HOT_THRESHOLD,
+                     probes_ds=None, probe_dir: str | None = None):
     """Flagship with the checkpointed sink: each partition commits its
     Parquet + lineage manifest atomically inside the partition task;
     the job's output Dataset is the (tiny) manifest table. On resume,
@@ -422,11 +423,41 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
     from ..config import feature_schema
     out_cols = feature_schema(families or ["all"])
 
+    # Fused probe serve: the probe table is small (driver-combinable),
+    # so broadcast it pre-partitioned by url hash and let every sink
+    # task as-of join its slice WHILE the partition's features are
+    # still in memory — no second job, no checkpoint re-read. Only
+    # valid unsalted (a hot url's snapshots span salted partitions);
+    # with salting active use probe_features_from_checkpoint after.
+    probes_ref = None
+    if probes_ds is not None and probe_dir is not None and not hot:
+        import ray
+
+        from ..stages.partition import _part_values
+        ppd = probes_ds.limit(5_000_001).to_pandas()
+        if len(ppd) > 5_000_000:
+            raise ValueError(
+                "fused probe serve expects a driver-sized probe "
+                "table; use probe_features_from_checkpoint for "
+                "larger probe sets")
+        ppd["__ppart"] = _part_values(
+            ppd["url"].to_numpy(dtype=object), num_partitions)
+        # broadcast as Arrow: plasma shares the buffers zero-copy, so
+        # sink tasks don't each unpickle a pandas frame — they filter
+        # their partition's slice and convert only that
+        probes_ref = ray.put(pa.Table.from_pandas(
+            ppd, preserve_index=False))
+        os.makedirs(probe_dir, exist_ok=True)
+        probe_cols = [c for c in ppd.columns if c != "__ppart"]
+        probe_vals = [c for c in out_cols if c not in ("url", "warc_ts")]
+
     def sink(g: pd.DataFrame) -> pd.DataFrame:
         # One block may hold several (whole) hash partitions; each is
         # committed independently so resume granularity stays per-part.
         import ray
         carries = ray.get(carry_ref) if carry_ref is not None else None
+        probes_all = ray.get(probes_ref) if probes_ref is not None \
+            else None
         rows = []
         feats = []
         for part, gp in g.groupby(PART_COL, sort=True):
@@ -443,6 +474,21 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
                        **({"salted_cells": int(
                            gp.groupby(["url", "__bucket"]).ngroups)}
                           if salted else {})})
+            if probes_all is not None:
+                import pyarrow.compute as pc_
+
+                from ..stages.asof import local_asof_merge
+                pr_t = probes_all.filter(
+                    pc_.equal(probes_all["__ppart"],
+                              pa.scalar(int(part))))
+                if pr_t.num_rows:
+                    pr = pr_t.to_pandas()
+                    served = local_asof_merge(
+                        pr[probe_cols], out, "url", "query_ts",
+                        "warc_ts", probe_vals, probe_cols)
+                    _atomic_parquet(
+                        served, os.path.join(
+                            probe_dir, "part=%05d.parquet" % int(part)))
             rows.append({"partition": np.int64(part),
                          "rows": np.int64(man["rows"]),
                          "dropped_rows": np.int64(man["dropped_rows"]),
@@ -466,6 +512,49 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
     return partition_map(ds, [PART_COL], sink,
                          num_partitions * (2 if hot else 1),
                          drop_part_col=False, arrow_pre_fn=unpack)
+
+
+def _atomic_parquet(df: pd.DataFrame, path: str) -> None:
+    import pyarrow.parquet as pq
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.replace(tmp, path)
+
+
+def finalize_fused_probes(probe_dir: str, probes_ds,
+                          num_partitions: int,
+                          families: list[str] | None = None) -> int:
+    """After a fused run_checkpointed(probes_ds=...) job: serve the
+    probes whose url-hash partition had NO page rows at all (no sink
+    task ran there, and by construction they have no matching
+    snapshots -> all-NaN feature vector). Returns the number of
+    leftover probe rows written."""
+    from ..config import feature_schema
+    from ..stages.asof import local_asof_merge
+    from ..stages.partition import _part_values
+    served = set()
+    if os.path.isdir(probe_dir):
+        for f in os.listdir(probe_dir):
+            if f.startswith("part=") and f.endswith(".parquet"):
+                tag = f.split("=")[1].split(".")[0]
+                if tag.isdigit():
+                    served.add(int(tag))
+    ppd = probes_ds.to_pandas()
+    parts = _part_values(ppd["url"].to_numpy(dtype=object),
+                         num_partitions)
+    missing = ppd[~np.isin(parts, sorted(served))]
+    if len(missing) == 0:
+        return 0
+    out_cols = feature_schema(families or ["all"])
+    vals = [c for c in out_cols if c not in ("url", "warc_ts")]
+    probe_cols = list(ppd.columns)
+    sn = pd.DataFrame(columns=["url", "warc_ts"] + vals)
+    served_df = local_asof_merge(missing, sn, "url", "query_ts",
+                                 "warc_ts", vals, probe_cols)
+    os.makedirs(probe_dir, exist_ok=True)
+    _atomic_parquet(served_df,
+                    os.path.join(probe_dir, "part=leftover.parquet"))
+    return len(missing)
 
 
 def probe_features(features_ds, probes_ds, num_partitions: int = 32,

@@ -740,6 +740,16 @@ def ann_lsh(sf_dir: str):
                            k=ANN_K)
 
 
+@register("ann_ivf")  # approximate -> rows-only; recall tested in pytest
+def ann_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN (stages/ann.ann_ivf): sampled k-means
+    centroids, block-local cell assignment, probe-cell scans only."""
+    ds = rd.read_parquet(_path(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return ann_mod.ann_ivf(ds, "embedding", "vec_id", ANN_QUERY_IDS,
+                           k=ANN_K)
+
+
 @register("embedding_near_dup", sql="""
     SELECT a.vec_id AS a, b.vec_id AS b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)

@@ -266,3 +266,76 @@ def embedding_near_dup(ds, emb_col: str, id_col: str,
     return pairs.map_batches(
         PairBlock, batch_format="pyarrow", concurrency=pool_size(),
         batch_size=4, fn_constructor_kwargs={"refs": refs}).to_pandas()
+
+
+def ann_ivf(ds, emb_col: str, id_col: str, query_ids: list[int],
+            k: int = 5, n_cells: int = 16, n_probe_cells: int = 4,
+            sample_size: int = 2048, kmeans_iters: int = 10,
+            seed: int = 23) -> pd.DataFrame:
+    """IVF (inverted-file) ANN — the classic coarse-quantizer scale
+    path: k-means centroids are trained on a SAMPLE (driver-side,
+    bounded), every corpus block assigns its rows to the nearest
+    centroid with one matmul, and only rows in each query's
+    ``n_probe_cells`` nearest cells are scored. Deterministic under
+    the fixed seed. Approximate — recall measured in tests against
+    ``ann_bruteforce``; scan fraction ~ n_probe_cells / n_cells.
+    """
+    qids, qmat = _query_matrix(ds, emb_col, id_col, query_ids)
+
+    # centroid training on a bounded sample (normalized rows, cosine
+    # k-means = spherical k-means with mean-renormalized updates)
+    sample = ds.select_columns([emb_col]).limit(sample_size)
+    smat = _norm_rows(np.vstack(
+        [_stack(pa.concat_tables([ray.get(r)])[emb_col])
+         for r in sample.to_arrow_refs()]))
+    rng = np.random.default_rng(seed)
+    cents = smat[rng.choice(len(smat), size=min(n_cells, len(smat)),
+                            replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(smat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = smat[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+
+    # each query probes its n_probe_cells nearest cells
+    qcell = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe_cells]
+    wanted = np.unique(qcell.reshape(-1))
+    ctx = ray.put((qids, qmat, cents, qcell, wanted))
+
+    class CellScan:
+        def __init__(self):
+            (self.qids, self.qmat, self.cents, self.qcell,
+             self.wanted) = ray.get(ctx)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            mat = _norm_rows(_stack(batch[emb_col]))
+            cell = np.argmax(mat @ self.cents.T, axis=1)
+            keep = np.isin(cell, self.wanted)
+            ids, mat, cell = ids[keep], mat[keep], cell[keep]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.qids)):
+                m = np.isin(cell, self.qcell[qi])
+                if not m.any():
+                    continue
+                sims = mat[m] @ self.qmat[qi]
+                out_q.append(np.full(int(m.sum()), self.qids[qi]))
+                out_n.append(ids[m])
+                out_s.append(sims)
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "score": pa.array(np.concatenate(out_s))})
+
+    partials = ds.select_columns([id_col, emb_col]).map_batches(
+        CellScan, batch_format="pyarrow", concurrency=pool_size(),
+        batch_size=4096).to_pandas()
+    return _topk(partials, k)

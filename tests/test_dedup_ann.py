@@ -109,6 +109,33 @@ def test_simhash_finds_exact_dup():
     assert (out["hamming"] <= 3).all()
 
 
+def test_ann_ivf_recall_vs_bruteforce():
+    from nuclei_feature_extraction_ray.stages.ann import ann_ivf
+    rng = np.random.default_rng(7)
+    n, d = 400, 32
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(np.arange(n)),
+                    "embedding": pa.array(list(mat),
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    exact = ann_bruteforce(ds, "embedding", "vec_id", [0, 1, 2], k=5)
+    approx = ann_ivf(ds, "embedding", "vec_id", [0, 1, 2], k=5,
+                     n_cells=8, n_probe_cells=4)
+    rec = []
+    for q in (0, 1, 2):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        rec.append(len(e & a) / 5)
+    assert np.mean(rec) >= 0.4        # probing half the cells
+    # scores of overlapping neighbors identical (same normalized dot)
+    m = exact.merge(approx, on=["query_id", "neighbor_id"])
+    np.testing.assert_allclose(m["score_x"], m["score_y"])
+    # determinism under fixed seed
+    again = ann_ivf(ds, "embedding", "vec_id", [0, 1, 2], k=5,
+                    n_cells=8, n_probe_cells=4)
+    pd.testing.assert_frame_equal(approx, again)
+
+
 def test_ann_lsh_recall_vs_bruteforce():
     rng = np.random.default_rng(3)
     n, d = 400, 32

@@ -132,6 +132,33 @@ def test_asof_probe_features_match_merge_asof(pages_tbl, feats):
     assert got["warc_ts"].isna().sum() == want["warc_ts"].isna().sum() > 0
 
 
+def test_fused_probe_serve_matches_generic(pages_tbl, tmp_path):
+    """run_checkpointed(probes_ds=...) writes per-partition probe
+    parquet equal to the generic exchange join (plus all-NaN rows for
+    probes whose partition has no pages, via finalize_fused_probes)."""
+    from nuclei_feature_extraction_ray.pipelines.pages_features import (
+        finalize_fused_probes, run_checkpointed)
+    from nuclei_feature_extraction_ray.state.manifest import read_output
+    probes_tbl = generate_probes(pages_tbl, 80)
+    ds = rd.from_arrow(pages_tbl.select(["url", "warc_ts", "html",
+                                         "lang"]))
+    out = str(tmp_path / "fused_ckpt")
+    pdir = str(tmp_path / "fused_probes")
+    run_checkpointed(ds, out, num_partitions=4, resume=False,
+                     probes_ds=rd.from_arrow(probes_tbl),
+                     probe_dir=pdir).materialize()
+    finalize_fused_probes(pdir, rd.from_arrow(probes_tbl), 4)
+    fused = rd.read_parquet(pdir, partitioning=None).to_pandas()
+    slow = probe_features(read_output(out), rd.from_arrow(probes_tbl),
+                          num_partitions=4).to_pandas()
+    assert len(fused) == len(slow) == probes_tbl.num_rows
+    k = ["url", "query_ts"]
+    pd.testing.assert_frame_equal(
+        fused.sort_values(k).reset_index(drop=True),
+        slow.sort_values(k).reset_index(drop=True)[fused.columns],
+        check_dtype=False)
+
+
 def test_probe_features_from_checkpoint_matches_generic(
         pages_tbl, tmp_path):
     """The checkpoint-aware probe join (probe-only shuffle + local
