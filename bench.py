@@ -41,7 +41,8 @@ BENCH_QUERIES = [
     "doc_fingerprint", "lag_lead", "rolling_stats", "sessionize",
     "session_stats", "asof_quote", "backfill", "time_slice",
     "hourly_rate", "pricing_summary", "top_spenders", "region_orders",
-    "ann_cosine", "ann_lsh", "embedding_near_dup", "multimodal_decode",
+    "ann_cosine", "ann_lsh", "ann_ivf", "embedding_near_dup",
+    "multimodal_decode", "custkey_distinct", "custkey_distinct_approx",
 ]
 
 
