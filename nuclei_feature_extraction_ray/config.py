@@ -46,17 +46,17 @@ def _structure(g: pd.DataFrame) -> pd.DataFrame:
 
 def _temporal(g: pd.DataFrame) -> pd.DataFrame:
     from .pipelines.pages_features import ROLLING_SPAN
-    from .stages.window import add_rolling_time
+    from .stages.window import add_rolling_time, td_seconds
     gb = g.groupby("url", sort=False)
     out = pd.DataFrame(index=g.index)
     out["snap_idx"] = gb.cumcount().astype(np.int64)
     prev_ts = gb["warc_ts"].shift(1)
-    out["gap_sec"] = (g["warc_ts"] - prev_ts).dt.total_seconds()
+    out["gap_sec"] = td_seconds(g["warc_ts"] - prev_ts)
     out["delta_n_chars"] = (g["n_chars"]
                             - gb["n_chars"].shift(1)).astype(np.float64)
     first_ts = gb["warc_ts"].transform("min")
     out["days_since_first"] = (
-        (g["warc_ts"] - first_ts).dt.total_seconds() / 86400.0)
+        td_seconds(g["warc_ts"] - first_ts) / 86400.0)
     tmp = g[["url", "warc_ts", "n_chars"]].copy()
     tmp = add_rolling_time(tmp, "url", "warc_ts", "n_chars",
                            ROLLING_SPAN, "r30_")

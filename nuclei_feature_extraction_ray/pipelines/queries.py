@@ -479,9 +479,10 @@ def time_slice(sf_dir: str):
         m = pc.and_(pc.greater_equal(batch["ts"], pa.scalar(t0)),
                     pc.less(batch["ts"], pa.scalar(t1)))
         b = batch.filter(m)
-        reb = pc.divide(
-            pc.cast(pc.subtract(b["ts"], pa.scalar(t0)), pa.int64()),
-            pa.scalar(1_000_000.0))
+        from ..stages.window import us_seconds
+        us = pc.cast(pc.subtract(b["ts"], pa.scalar(t0)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        reb = pa.array(us_seconds(us))
         return b.drop_columns(["ts"]).append_column("ts_rebased_sec", reb)
 
     return ds.map_batches(fn, batch_format="pyarrow")

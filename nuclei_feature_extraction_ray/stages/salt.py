@@ -42,7 +42,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import hash64
-from .window import windowed_stats
+from .window import us_seconds, windowed_stats
 
 #: last-K rows carried across bucket boundaries (lang_stab_5 lookback)
 K_LAST = 5
@@ -108,7 +108,7 @@ def bucket_summaries(hot_ds, gap_sec: float, num_partitions: int):
                 continue
             ts = gp["warc_ts"].to_numpy("datetime64[us]") \
                 .astype(np.int64)
-            gaps = np.diff(ts) / 1e6
+            gaps = us_seconds(np.diff(ts))
             tail = gp.tail(K_LAST)
             tts = tail["warc_ts"].to_numpy("datetime64[us]") \
                 .astype(np.int64)
@@ -157,7 +157,7 @@ def build_carries(summary: pd.DataFrame, gap_sec: float) -> dict:
             }
             prev_ts = prev5[-1][0] if prev5 else None
             new0 = 1 if (prev_ts is None
-                         or (int(r.first_ts) - prev_ts) / 1e6
+                         or float(us_seconds(np.int64(int(r.first_ts) - prev_ts)))
                          > gap_sec) else 0
             sessions_before += int(r.starts) + new0
             rows_before += int(r.n)
@@ -212,9 +212,10 @@ def salted_bucket_features(gp: pd.DataFrame, carry: dict,
     # temporal ---------------------------------------------------------
     out["snap_idx"] = rows_before + np.arange(n_own, dtype=np.int64)
     gap = np.empty(n_own)
-    gap[0] = np.nan if prev_ts is None else (ts_own[0] - prev_ts) / 1e6
+    gap[0] = np.nan if prev_ts is None else float(
+        us_seconds(np.int64(ts_own[0] - prev_ts)))
     if n_own > 1:
-        gap[1:] = np.diff(ts_own) / 1e6
+        gap[1:] = us_seconds(np.diff(ts_own))
     out["gap_sec"] = gap
     delta = np.empty(n_own)
     delta[0] = np.nan if prev_nch is None else nch_own[0] - prev_nch
@@ -223,7 +224,7 @@ def salted_bucket_features(gp: pd.DataFrame, carry: dict,
     out["delta_n_chars"] = delta
     first_ts = carry["first_ts"] if carry["first_ts"] is not None \
         else int(ts_own[0])
-    out["days_since_first"] = ((ts_own - first_ts) / 1e6) / 86400.0
+    out["days_since_first"] = us_seconds(ts_own - first_ts) / 86400.0
     for k in ("min", "max", "mean", "count"):
         out["r30_" + k] = st[k][own]
 

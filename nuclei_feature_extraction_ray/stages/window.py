@@ -22,6 +22,37 @@ import numpy as np
 import pandas as pd
 
 
+_DAY_US = 86_400_000_000
+
+
+def us_seconds(us: np.ndarray) -> np.ndarray:
+    """int64 microseconds -> float seconds computed EXACTLY the way
+    DuckDB's ``epoch(interval)`` does: a timestamp difference is
+    normalized into (days, micros) and summed as
+    ``days * 86400.0 + micros / 1e6`` in doubles (verified against
+    DuckDB on boundary cases) — which differs from pandas
+    ``total_seconds()`` (one correctly-rounded division) in the last
+    ulp on ~1%% of multi-day values. Both engines use this one
+    formula so seconds columns are bit-identical."""
+    us = np.asarray(us)
+    neg = us < 0
+    a = np.abs(us)
+    days = a // _DAY_US
+    rem = a - days * _DAY_US
+    out = days * 86400.0 + rem / 1e6
+    return np.where(neg, -out, out)
+
+
+def td_seconds(td) -> np.ndarray:
+    """timedelta -> float seconds via the DuckDB epoch formula
+    (``us_seconds``); NaT -> NaN."""
+    arr = np.asarray(td).astype("timedelta64[us]")
+    nat = np.isnat(arr)
+    out = us_seconds(arr.astype(np.int64))
+    out[nat] = np.nan
+    return out
+
+
 def add_lag_lead(g: pd.DataFrame, key: str, cols: list[str],
                  ts_col: str | None = None) -> pd.DataFrame:
     """prev_/next_ per entity + gap seconds; frame must be sorted by
@@ -33,7 +64,7 @@ def add_lag_lead(g: pd.DataFrame, key: str, cols: list[str],
         g["delta_" + c] = g[c] - g["prev_" + c]
     if ts_col is not None:
         prev_ts = gb[ts_col].shift(1)
-        g["gap_sec"] = (g[ts_col] - prev_ts).dt.total_seconds()
+        g["gap_sec"] = td_seconds(g[ts_col] - prev_ts)
     return g
 
 
@@ -163,7 +194,8 @@ def add_session_ids(g: pd.DataFrame, key: str, ts_col: str,
     previous row of the same entity exceeds ``gap_seconds`` (strictly).
     session_id is 0-based per entity. Sorted-frame precondition."""
     gb = g.groupby(key, sort=False)
-    gap = (g[ts_col] - gb[ts_col].shift(1)).dt.total_seconds()
+    gap = pd.Series(td_seconds(g[ts_col] - gb[ts_col].shift(1)),
+                    index=g.index)
     new = gap.isna() | (gap > gap_seconds)
     g[out_col] = new.groupby(g[key], sort=False).cumsum().astype(np.int64) - 1
     return g
@@ -187,7 +219,7 @@ def session_aggregate(g: pd.DataFrame, key: str, ts_col: str,
         end_ts=(ts_col, "max"),
         sum_value=(value_col, "sum"),
     ).reset_index()
-    agg["duration_sec"] = (agg["end_ts"] - agg["start_ts"]).dt.total_seconds()
+    agg["duration_sec"] = td_seconds(agg["end_ts"] - agg["start_ts"])
     agg["n_events"] = agg["n_events"].astype(np.int64)
     return agg
 
