@@ -787,6 +787,40 @@ def multimodal_decode(sf_dir: str):
                                batch_size=256, concurrency=2)
 
 
+@register("multimodal_resize")  # binary plumbing -> rows-only check
+def multimodal_resize(sf_dir: str):
+    """Image-resize + video frame-sample plumbing over the fake raster
+    format (stages/multimodal.ResizeMedia / FrameSample): per-doc
+    raster built from the text bytes, resized 16x16, then re-decoded —
+    real actor-pool stages, deterministic kernels, codec stubbed."""
+    from ..stages.multimodal import ResizeMedia
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch["text"].to_pylist():
+            b = t.encode()[:1024]
+            w = max(1, min(32, len(b)))
+            h = max(1, len(b) // w)
+            payloads.append(make_payload(b[:w * h], width=w, height=h))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    # Two chained actor pools must leave CPUs free for the read/write
+    # tasks of the same pipeline (two pools of 2 on a 4-CPU test
+    # cluster reserve everything and deadlock the streaming executor).
+    from ..util import pool_size
+    conc = pool_size(frac=0.25, cap=4)
+    wrapped = ds.map_batches(wrap, batch_format="pyarrow")
+    resized = wrapped.map_batches(
+        ResizeMedia, batch_format="pyarrow", batch_size=256,
+        concurrency=conc,
+        fn_constructor_kwargs={"out_w": 16, "out_h": 16})
+    return resized.map_batches(DecodeMedia, batch_format="pyarrow",
+                               batch_size=256, concurrency=conc)
+
+
 # ===========================================================================
 # pages flagship (synthetic corpus; no SQL view -> rows-only checks)
 # ===========================================================================

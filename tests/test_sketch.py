@@ -51,3 +51,40 @@ def test_degenerate_class_taxonomy():
     ora = con.execute(
         "SELECT %s AS c FROM documents" % expr).df()["c"]
     assert ora.tolist() == [0, 1, 2, 3, 4, 4]
+
+
+def test_multimodal_resize_and_frame_sample():
+    from nuclei_feature_extraction_ray.stages.multimodal import (
+        DecodeMedia, FrameSample, ResizeMedia, make_payload)
+    rng = np.random.default_rng(2)
+    # images: w x h rasters; one degenerate (truncated body)
+    imgs = [make_payload(rng.integers(0, 256, size=20 * 10,
+                                      dtype=np.uint8).tobytes(), 20, 10),
+            make_payload(b"xx", 5, 5)]
+    t = pa.table({"i": pa.array([0, 1]),
+                  "payload": pa.array(imgs, pa.binary())})
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(ResizeMedia, batch_format="pyarrow",
+                         concurrency=1,
+                         fn_constructor_kwargs={"out_w": 4, "out_h": 4}
+                         ).to_pandas()
+    assert out["resize_ok"].tolist() == [True, False]
+    good = out["payload"].iloc[0]
+    assert int.from_bytes(good[:4], "little") == 4
+    assert len(good) == 8 + 16
+    # video: 6 frames of 3x2, sample stride 2 -> frames 0, 2, 4
+    vid = make_payload(rng.integers(0, 256, size=6 * 6,
+                                    dtype=np.uint8).tobytes(), 3, 2)
+    vt = pa.table({"vid_id": pa.array([7]),
+                   "payload": pa.array([vid], pa.binary())})
+    frames = rd.from_arrow(vt).map_batches(
+        FrameSample, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"stride": 2}).to_pandas()
+    assert frames["frame_idx"].tolist() == [0, 2, 4]
+    assert (frames["vid_id"] == 7).all()
+    # each sampled frame decodes
+    dec = rd.from_arrow(pa.Table.from_pandas(
+        frames.rename(columns={"frame": "payload"}),
+        preserve_index=False)).map_batches(
+        DecodeMedia, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert (dec["n_payload_bytes"] == 6).all()
