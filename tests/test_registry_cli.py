@@ -152,3 +152,27 @@ def test_salted_partition_splits_hot_keys():
     pd.testing.assert_frame_equal(
         out.sort_values(["url", "ts"]).reset_index(drop=True),
         out2.sort_values(["url", "ts"]).reset_index(drop=True))
+
+
+def test_filter_cli_slice(tmp_path):
+    """filter-geojson analog (src/filter_geojson.rs:16-67): window
+    predicate + rebase, standalone CLI."""
+    import pyarrow.parquet as pq
+    d = corpus_dir("t1")
+    src = os.path.join(d, "pages")
+    out = str(tmp_path / "sliced")
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "nuclei_feature_extraction_ray.filter_cli",
+         "--input", src, "--output", out,
+         "--from", "1970-03-01", "--to", "1971-01-01",
+         "--rebase", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180)
+    assert r.returncode == 0, r.stderr[-1500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rows"] > 0
+    got = pq.read_table(out)
+    assert "ts_rebased_sec" in got.schema.names
+    assert "warc_ts" not in got.schema.names
+    reb = got["ts_rebased_sec"].to_numpy()
+    assert (reb >= 0).all()

@@ -50,6 +50,25 @@ def test_salted_features_byte_identical():
     pd.testing.assert_frame_equal(a, b[a.columns], check_exact=True)
 
 
+def test_salted_byte_identity_multi_seed():
+    """Property-style: salted == unsalted across several random
+    corpora (different hot-url sizes, gap structures, duplicate and
+    degenerate mixes)."""
+    for seed in (3, 29, 71):
+        tbl = generate_pages(1200, seed=seed) \
+            .select(["url", "warc_ts", "html", "lang"])
+        base = compute_features(rd.from_arrow(tbl), num_partitions=3,
+                                hot_threshold=None).to_pandas()
+        salted = compute_features(rd.from_arrow(tbl), num_partitions=3,
+                                  hot_threshold=60).to_pandas()
+        key = ["url", "warc_ts"]
+        a = base.sort_values(key, kind="mergesort").reset_index(drop=True)
+        b = salted.sort_values(key, kind="mergesort") \
+            .reset_index(drop=True)
+        assert len(a) == len(b), seed
+        pd.testing.assert_frame_equal(a, b[a.columns], check_exact=True)
+
+
 def test_salted_manifest_skew_stats(tmp_path):
     out = str(tmp_path / "salted_ckpt")
     man_ds = run_checkpointed(rd.from_arrow(_pages()), out,
