@@ -14,6 +14,14 @@ import sys
 
 
 def build_parser() -> argparse.ArgumentParser:
+    import os
+
+    # env-config fallbacks — the reference's Docker driver surface
+    # (EXTRACTION_FEATURES / EXTRACTION_OUT_EXT, run.sh:48 +
+    # Dockerfile:16) recast as NFX_* variables; explicit flags win.
+    env_features = os.environ.get("NFX_FEATURES")
+    env_fmt = os.environ.get("NFX_OUTPUT_FORMAT", "parquet")
+
     p = argparse.ArgumentParser(
         prog="nuclei-feature-extraction-ray",
         description="Point-in-time windowed feature extraction over a "
@@ -21,10 +29,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True,
                    help="pages parquet file/dir (url, warc_ts, html, lang)")
     p.add_argument("--output", required=True, help="output directory")
-    p.add_argument("--features", nargs="+", default=["all"],
-                   help="feature families / aliases (see config.FAMILIES)")
+    p.add_argument("--features", nargs="+",
+                   default=(env_features.split() if env_features
+                            else ["all"]),
+                   help="feature families / aliases (see config.FAMILIES; "
+                        "env NFX_FEATURES)")
     p.add_argument("--partitions", type=int, default=32)
-    p.add_argument("--output-format", default="parquet",
+    p.add_argument("--output-format", default=env_fmt,
                    choices=["parquet", "csv", "json", "ipc", "feather"])
     p.add_argument("--hot-threshold", type=int, default=None,
                    help="rows per url above which the url is salted "

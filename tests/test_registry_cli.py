@@ -176,3 +176,27 @@ def test_filter_cli_slice(tmp_path):
     assert "warc_ts" not in got.schema.names
     reb = got["ts_rebased_sec"].to_numpy()
     assert (reb >= 0).all()
+
+
+def test_cli_env_config(tmp_path):
+    """E3 env-config surface (run.sh:48 / Dockerfile:16 analog):
+    NFX_FEATURES / NFX_OUTPUT_FORMAT feed the parser defaults."""
+    import importlib
+    import nuclei_feature_extraction_ray.cli as cli
+    old = dict(os.environ)
+    try:
+        os.environ["NFX_FEATURES"] = "text"
+        os.environ["NFX_OUTPUT_FORMAT"] = "csv"
+        args = cli.build_parser().parse_args(
+            ["--input", "x", "--output", "y"])
+        assert args.features == ["text"]
+        assert args.output_format == "csv"
+        # explicit flags win
+        args2 = cli.build_parser().parse_args(
+            ["--input", "x", "--output", "y", "--features", "all",
+             "--output-format", "parquet"])
+        assert args2.features == ["all"]
+        assert args2.output_format == "parquet"
+    finally:
+        os.environ.clear()
+        os.environ.update(old)
