@@ -51,11 +51,20 @@ _EMPTY_CARRY = {"rows_before": 0, "sessions_before": 0,
                 "first_ts": None, "prev5": []}
 
 
+#: above this many partial rows the heavy-hitter combine goes through
+#: a hash exchange instead of the driver
+_DETECT_DRIVER_MAX = 2_000_000
+
+
 def detect_hot_urls(ds, key_col: str, threshold: int,
                     min_local: int = 8) -> dict:
     """{key: estimated_count} for keys with >= threshold total rows.
-    One vectorized value_counts per batch, keeping only local heavy
-    hitters so the driver combine stays bounded (<= rows/min_local)."""
+    One vectorized value_counts per batch keeps only local heavy
+    hitters (a key big enough to skew a partition at any scale shows
+    up >= min_local times in many batches). The partial set is
+    normally tiny and combined on the driver; above
+    ``_DETECT_DRIVER_MAX`` rows it is combined by one hash exchange
+    and only keys crossing the threshold reach the driver."""
 
     def partial(batch: pa.Table) -> pa.Table:
         vc = pc.value_counts(batch[key_col])
@@ -65,10 +74,21 @@ def detect_hot_urls(ds, key_col: str, threshold: int,
         return pa.table({"k": keys.filter(mask),
                          "n": counts.filter(mask)})
 
-    pdf = ds.select_columns([key_col]).map_batches(
-        partial, batch_format="pyarrow").to_pandas()
+    partials = ds.select_columns([key_col]).map_batches(
+        partial, batch_format="pyarrow")
+    pdf = partials.limit(_DETECT_DRIVER_MAX + 1).to_pandas()
     if len(pdf) == 0:
         return {}
+    if len(pdf) > _DETECT_DRIVER_MAX:
+        from .partition import partition_map
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("k", as_index=False)["n"].sum()
+            return agg[agg["n"] >= threshold]
+
+        pdf = partition_map(partials, ["k"], combine, 64).to_pandas()
+        return {k: int(v) for k, v in
+                zip(pdf["k"], pdf["n"])}
     agg = pdf.groupby("k")["n"].sum()
     return {k: int(v) for k, v in agg[agg >= threshold].items()}
 

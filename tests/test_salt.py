@@ -91,3 +91,14 @@ def test_salted_manifest_skew_stats(tmp_path):
     base = compute_features(rd.from_arrow(_pages()), num_partitions=4,
                             hot_threshold=None).to_pandas()
     assert int(man["rows"].sum()) == len(base)
+
+
+def test_detect_hot_urls_distributed_combine(monkeypatch):
+    """Above the driver cap the heavy-hitter combine goes through one
+    hash exchange; result identical."""
+    from nuclei_feature_extraction_ray.stages import salt as salt_mod
+    ds = rd.from_arrow(_pages())
+    small = detect_hot_urls(ds, "url", threshold=100)
+    monkeypatch.setattr(salt_mod, "_DETECT_DRIVER_MAX", 0)
+    big = salt_mod.detect_hot_urls(ds, "url", threshold=100)
+    assert small == big
