@@ -83,14 +83,24 @@ def hll_estimate(regs: np.ndarray) -> float:
 
 def approx_distinct(ds, col: str) -> int:
     """Streaming HLL over a Dataset column: per-batch register
-    partials (4 KiB each), driver max-merge. No shuffle."""
+    partials (4 KiB each) are tree-merged by an intermediate combiner
+    stage (256 partials -> 1) so the driver sees ~blocks/256 rows
+    regardless of corpus size, then max-merged. No shuffle."""
     def partial(batch: pa.Table) -> pa.Table:
         regs = hll_partial(batch[col].to_numpy(zero_copy_only=False))
         return pa.table({"regs": pa.array([regs.tobytes()],
                                           pa.binary())})
 
-    parts = ds.select_columns([col]).map_batches(
-        partial, batch_format="pyarrow").to_pandas()
+    def combine(batch: pa.Table) -> pa.Table:
+        regs = hll_merge([np.frombuffer(b, np.uint8)
+                          for b in batch["regs"].to_pylist()])
+        return pa.table({"regs": pa.array([regs.tobytes()],
+                                          pa.binary())})
+
+    parts = ds.select_columns([col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(combine, batch_format="pyarrow",
+                     batch_size=256).to_pandas()
     regs = hll_merge([np.frombuffer(b, np.uint8)
                       for b in parts["regs"]])
     return int(round(hll_estimate(regs)))

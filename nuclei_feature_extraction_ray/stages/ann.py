@@ -79,6 +79,20 @@ def _query_matrix(ds, emb_col: str, id_col: str,
     return qids, qmat
 
 
+def _topk_reduce(partials_ds, k: int):
+    """Combiner stage between per-block partials and the driver: each
+    combine call folds up to 64k partial rows down to Q*(k+1), so the
+    driver frame is bounded by blocks/64k regardless of corpus size."""
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["query_id", "score", "neighbor_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        return g.groupby("query_id", sort=False).head(k + 1)
+
+    return partials_ds.map_batches(combine, batch_format="pandas",
+                                   batch_size=65536).to_pandas()
+
+
 def _topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
     partials = partials[partials["query_id"] != partials["neighbor_id"]]
     partials = partials.sort_values(
@@ -125,9 +139,10 @@ def ann_bruteforce(ds, emb_col: str, id_col: str,
                 "score": pa.array(np.concatenate(out_s)),
             })
 
-    partials = ds.select_columns([id_col, emb_col]).map_batches(
-        BlockTopK, batch_format="pyarrow", concurrency=pool_size(),
-        batch_size=4096).to_pandas()     # partials: Q * k * n_blocks rows
+    partials = _topk_reduce(
+        ds.select_columns([id_col, emb_col]).map_batches(
+            BlockTopK, batch_format="pyarrow", concurrency=pool_size(),
+            batch_size=4096), k)
     return _topk(partials, k)
 
 
@@ -178,9 +193,10 @@ def ann_lsh(ds, emb_col: str, id_col: str, query_ids: list[int],
                              "neighbor_id": pa.array(n),
                              "score": pa.array(sims.reshape(-1))})
 
-    partials = ds.select_columns([id_col, emb_col]).map_batches(
-        BucketScan, batch_format="pyarrow", concurrency=pool_size(),
-        batch_size=4096).to_pandas()
+    partials = _topk_reduce(
+        ds.select_columns([id_col, emb_col]).map_batches(
+            BucketScan, batch_format="pyarrow", concurrency=pool_size(),
+            batch_size=4096), k)
     return _topk(partials, k)
 
 
@@ -335,7 +351,8 @@ def ann_ivf(ds, emb_col: str, id_col: str, query_ids: list[int],
                 "neighbor_id": pa.array(np.concatenate(out_n)),
                 "score": pa.array(np.concatenate(out_s))})
 
-    partials = ds.select_columns([id_col, emb_col]).map_batches(
-        CellScan, batch_format="pyarrow", concurrency=pool_size(),
-        batch_size=4096).to_pandas()
+    partials = _topk_reduce(
+        ds.select_columns([id_col, emb_col]).map_batches(
+            CellScan, batch_format="pyarrow", concurrency=pool_size(),
+            batch_size=4096), k)
     return _topk(partials, k)
