@@ -102,3 +102,38 @@ def test_detect_hot_urls_distributed_combine(monkeypatch):
     monkeypatch.setattr(salt_mod, "_DETECT_DRIVER_MAX", 0)
     big = salt_mod.detect_hot_urls(ds, "url", threshold=100)
     assert small == big
+
+
+def test_salted_checkpoint_resume(tmp_path):
+    """Resume over a salted checkpoint: a second resumed run reuses
+    every committed partition (manifests untouched) and the combined
+    output still equals the unsalted computation."""
+    import time
+    out = str(tmp_path / "salted_resume")
+    tbl = _pages()
+    man1 = run_checkpointed(rd.from_arrow(tbl), out, num_partitions=4,
+                            resume=False, hot_threshold=100) \
+        .to_pandas()
+    mtimes = {}
+    for d in os.listdir(out):
+        mf = os.path.join(out, d, "MANIFEST.json")
+        if os.path.isfile(mf):
+            mtimes[d] = os.path.getmtime(mf)
+    time.sleep(0.05)
+    man2 = run_checkpointed(rd.from_arrow(tbl), out, num_partitions=4,
+                            resume=True, hot_threshold=100).to_pandas()
+    # nothing recomputed: resumed run returns no freshly-committed rows
+    assert len(man2) == 0
+    for d, m in mtimes.items():
+        assert os.path.getmtime(
+            os.path.join(out, d, "MANIFEST.json")) == m
+    from nuclei_feature_extraction_ray.state.manifest import read_output
+    committed = read_output(out).to_pandas()
+    base = compute_features(rd.from_arrow(tbl), num_partitions=4,
+                            hot_threshold=None).to_pandas()
+    key = ["url", "warc_ts"]
+    pd.testing.assert_frame_equal(
+        committed.sort_values(key, kind="mergesort")
+        .reset_index(drop=True)[base.columns],
+        base.sort_values(key, kind="mergesort").reset_index(drop=True),
+        check_exact=True)
