@@ -2,12 +2,20 @@
 training-data ops) as a ``(sf_dir) -> Dataset|DataFrame`` callable, with
 a DuckDB oracle SQL string wherever the semantics are SQL-expressible.
 
-Float policy for oracle comparison: sums that must match the oracle
-exactly are computed on integer cents (exact in both engines); derived
-float columns are ``round(x, 6)`` on BOTH sides, which is safe because
-the underlying rationals have small denominators (see stages/window.py
-rolling notes) or the engines agree to <1e-10 while boundaries are
->=5e-7 away.
+Float policy for oracle comparison (every oracle row is bit-exact
+under STRICT float equality at sf0.001/sf0.01):
+1. sums that must match exactly are computed on integers (cents, cell
+   counts) with ONE final division — order-exact in both engines;
+2. inexact-weight folds run in the SAME explicit order on both sides
+   (texture.py 64-term folds), and rounding uses one shared
+   half-away-from-zero formula (texture.r6/_sql_r6) — numpy's
+   half-even differs exactly on dyadic boundaries;
+3. seconds columns mirror DuckDB's ``epoch(interval)`` float path
+   (days*86400.0 + micros/1e6; stages/window.us_seconds), which
+   differs from pandas total_seconds in the last ulp;
+4. generated SQL CASTs all literals/aggregates to DOUBLE — DuckDB
+   parses bare decimals as DECIMAL and its exact decimal arithmetic
+   rounds differently from the engine's doubles.
 """
 
 from __future__ import annotations
