@@ -696,6 +696,25 @@ def region_orders(sf_dir: str):
 # embeddings: similarity search / near-dup
 # ===========================================================================
 
+@register("doc_sample", sql="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id % 7 = 3""")
+def doc_sample(sf_dir: str):
+    """Deterministic systematic sampling (SURVEY §2.6 lists sampling
+    as absent from the reference): a pure key-modulus predicate — the
+    reproducible, retry-idempotent form of sampling a training-data
+    pipeline wants (random_shuffle-based sampling is neither). Pushed
+    down as a vectorized Arrow filter; no shuffle, no materialize."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 7 == 3))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 @register("custkey_distinct", sql="""
     SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys
     FROM orders""")
