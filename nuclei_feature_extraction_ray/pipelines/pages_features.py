@@ -466,14 +466,10 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
             dropped = out.attrs.get("dropped", 0)
             watermark = (str(out["warc_ts"].max()) if len(out) else None)
             salted = bool(part >= num_partitions)
-            man = commit_partition(
-                out_dir, int(part),
-                pa.Table.from_pandas(out, preserve_index=False),
-                key_cols=["url", "warc_ts"], dropped_rows=dropped,
-                extra={"watermark": watermark, "salted": salted,
-                       **({"salted_cells": int(
-                           gp.groupby(["url", "__bucket"]).ngroups)}
-                          if salted else {})})
+            # probe file FIRST, manifest second: the manifest is the
+            # atomic commit marker, so a crash between the two leaves
+            # an uncommitted partition (recomputed on resume) rather
+            # than a committed one with a probe hole resume would skip.
             if probes_all is not None:
                 import pyarrow.compute as pc_
 
@@ -489,6 +485,14 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
                     _atomic_parquet(
                         served, os.path.join(
                             probe_dir, "part=%05d.parquet" % int(part)))
+            man = commit_partition(
+                out_dir, int(part),
+                pa.Table.from_pandas(out, preserve_index=False),
+                key_cols=["url", "warc_ts"], dropped_rows=dropped,
+                extra={"watermark": watermark, "salted": salted,
+                       **({"salted_cells": int(
+                           gp.groupby(["url", "__bucket"]).ngroups)}
+                          if salted else {})})
             rows.append({"partition": np.int64(part),
                          "rows": np.int64(man["rows"]),
                          "dropped_rows": np.int64(man["dropped_rows"]),
