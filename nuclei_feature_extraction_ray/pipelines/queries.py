@@ -696,6 +696,45 @@ def region_orders(sf_dir: str):
 # embeddings: similarity search / near-dup
 # ===========================================================================
 
+#: GPT-2-style pre-tokenizer pattern restricted to explicit ASCII
+#: classes so Python re and DuckDB's RE2 agree match-for-match
+#: (both use leftmost-first alternation; no \p classes, no \w).
+_BPE_PAT = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+            r"| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+")
+
+
+@register("doc_bpe_tokens", sql="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT)
+             AS n_bpe_pieces,
+           CAST(len(regexp_extract_all(text,
+                '[ \\t\\n\\r\\f]+')) AS BIGINT) AS n_ws_runs
+    FROM documents""".format(p=_BPE_PAT.replace("'", "''")))
+def doc_bpe_tokens(sf_dir: str):
+    """BPE-ish token counting (brief: 'token counting (whitespace + a
+    BPE-ish regex)'): GPT-2-style pre-tokenizer piece count with an
+    exact SQL oracle — compiled once at import, one findall per row."""
+    import re as _re
+    bpe = _re.compile(_BPE_PAT)
+    ws = _re.compile(r"[ \t\n\r\f]+")
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "n_bpe_pieces": np.fromiter(
+                (len(bpe.findall(t)) for t in texts), np.int64,
+                count=len(texts)),
+            "n_ws_runs": np.fromiter(
+                (len(ws.findall(t)) for t in texts), np.int64,
+                count=len(texts)),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 @register("doc_sample", sql="""
     SELECT doc_id, lang, n_chars FROM documents
     WHERE doc_id % 7 = 3""")
