@@ -36,6 +36,7 @@ HEADLINE_ONLY = os.environ.get("BENCH_HEADLINE_ONLY") == "1"
 # is minhash_pairs, which IS benched).
 BENCH_QUERIES = [
     "doc_stats", "doc_quality", "doc_cooc", "doc_runlen",
+    "doc_bpe_tokens",
     "doc_spectrum", "lang_profile", "token_totals",
     "dedup_exact", "minhash_pairs", "simhash_pairs", "doc_langid",
     "doc_fingerprint", "lag_lead", "rolling_stats", "sessionize",
