@@ -32,11 +32,14 @@ def configure_context():
 
     Idempotent; called by the wide stages. Never calls ray.init.
     """
+    import os
+
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
     ctx = DataContext.get_current()
     cpus = _cpus()
-    if cpus >= 8:
+    min_hash = int(os.environ.get("NFX_HASH_SHUFFLE_MIN_CPUS", "8"))
+    if cpus >= min_hash:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         ctx.max_hash_shuffle_aggregators = max(2, min(16, cpus // 2))
         # Aggregator actors must not reserve whole CPUs, or they starve
