@@ -63,8 +63,10 @@ def slice_pages(ds, ts_from, ts_to, rebase: bool = False,
                     pc.less(batch["warc_ts"], pa.scalar(ts_to)))
         b = batch.filter(m)
         if dom_set is not None:
+            # path-less urls ("https://example.org") must match too, so
+            # everything after the host is optional
             hosts = pc.replace_substring_regex(
-                b["url"], pattern=r"^[a-z]+://([^/]*)/.*$",
+                b["url"], pattern=r"^[a-z]+://([^/]*).*$",
                 replacement=r"\1")
             b = b.filter(pc.is_in(hosts, value_set=dom_set))
         if rebase:

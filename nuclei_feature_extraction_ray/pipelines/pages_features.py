@@ -430,7 +430,18 @@ def run_checkpointed(pages_ds, out_dir: str, num_partitions: int = 32,
     # valid unsalted (a hot url's snapshots span salted partitions);
     # with salting active use probe_features_from_checkpoint after.
     probes_ref = None
-    if probes_ds is not None and probe_dir is not None and not hot:
+    if probes_ds is not None and probe_dir is not None and hot:
+        # Silently skipping the fused serve here would make a later
+        # finalize_fused_probes see zero probe files and write EVERY
+        # probe as an all-NaN leftover row — silently wrong output.
+        raise ValueError(
+            "fused probe serve is invalid while hot-url salting is "
+            "active (%d hot urls: a hot url's snapshots span salted "
+            "partitions, so a probe may need another partition's "
+            "rows); run the checkpoint first and serve probes with "
+            "probe_features_from_checkpoint, or pass "
+            "hot_threshold=None" % len(hot))
+    if probes_ds is not None and probe_dir is not None:
         import ray
 
         from ..stages.partition import _part_values
@@ -543,7 +554,25 @@ def finalize_fused_probes(probe_dir: str, probes_ds,
                 tag = f.split("=")[1].split(".")[0]
                 if tag.isdigit():
                     served.add(int(tag))
-    ppd = probes_ds.to_pandas()
+    if not served:
+        # Zero partition probe files means the fused serve never ran
+        # (wrong probe_dir, or a salted/unfused job) — treating every
+        # probe as page-less would emit an all-NaN table that LOOKS
+        # like valid output. Refuse instead.
+        raise ValueError(
+            "finalize_fused_probes: no part=*.parquet probe files in "
+            "%r — the fused probe serve did not run here; pass the "
+            "probe_dir given to run_checkpointed(probes_ds=...), or "
+            "serve probes with probe_features_from_checkpoint"
+            % probe_dir)
+    # Same driver-size guard as the fused serve: the leftover pass
+    # pulls the probe table onto the driver.
+    ppd = probes_ds.limit(5_000_001).to_pandas()
+    if len(ppd) > 5_000_000:
+        raise ValueError(
+            "finalize_fused_probes expects a driver-sized probe table "
+            "(> 5M rows); use probe_features_from_checkpoint for "
+            "larger probe sets")
     parts = _part_values(ppd["url"].to_numpy(dtype=object),
                          num_partitions)
     missing = ppd[~np.isin(parts, sorted(served))]

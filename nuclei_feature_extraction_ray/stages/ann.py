@@ -40,10 +40,16 @@ def _stack(emb_chunk) -> np.ndarray:
     embedding case); no ``to_pylist`` round-trip."""
     arr = emb_chunk.combine_chunks() if isinstance(
         emb_chunk, pa.ChunkedArray) else emb_chunk
-    if isinstance(arr, pa.FixedSizeListArray):
+    if isinstance(arr, pa.FixedSizeListArray) and arr.null_count == 0:
+        # .values is the UNSLICED child buffer: apply the slice offset
+        # explicitly (a sliced/offset FixedSizeListArray otherwise
+        # yields the wrong rows). Null entries fall through to the
+        # generic path below.
         d = arr.type.list_size
         flat = arr.values.to_numpy(zero_copy_only=False)
-        return flat.reshape(len(arr), d).astype(np.float64)
+        start = arr.offset * d
+        return flat[start:start + len(arr) * d] \
+            .reshape(len(arr), d).astype(np.float64)
     if isinstance(arr, (pa.ListArray, pa.LargeListArray)):
         off = arr.offsets.to_numpy(zero_copy_only=False)
         widths = np.diff(off)
@@ -52,7 +58,14 @@ def _stack(emb_chunk) -> np.ndarray:
             d = int(widths[0])
             return flat[off[0]:off[-1]].reshape(len(arr), d) \
                 .astype(np.float64)
-    return np.vstack([np.asarray(x, np.float64) for x in arr.to_pylist()])
+    rows = arr.to_pylist()
+    d = next((len(r) for r in rows if r is not None), 0)
+    zero = np.zeros(d, np.float64)
+    # null embeddings -> zero vectors: norm 0 is preserved by
+    # _norm_rows, so they match nothing (cosine 0 to everything)
+    return np.vstack([zero if r is None else np.asarray(r, np.float64)
+                      for r in rows]) if rows \
+        else np.empty((0, d), np.float64)
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -200,6 +213,28 @@ def ann_lsh(ds, emb_col: str, id_col: str, query_ids: list[int],
     return _topk(partials, k)
 
 
+def _pair_of_index(t: np.ndarray, n_blocks: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Invert the row-major enumeration of block pairs (i <= j): linear
+    index t in [0, B*(B+1)/2) -> (i, j). Pure arithmetic inside the
+    task, so the DRIVER never materializes the O(B^2) pair list (at
+    10^9 rows / 2048-row blocks that list alone would kill the driver
+    long before any matmul ran). The float sqrt seed is corrected with
+    exact integer bounds, so the mapping is right for any B."""
+    B = np.int64(n_blocks)
+    off = lambda i: i * (2 * B - i + 1) // 2          # first index of row i
+    s = float(2 * B + 1)
+    i = np.floor((s - np.sqrt(s * s - 8.0 * t.astype(np.float64))) / 2.0) \
+        .astype(np.int64)
+    i = np.clip(i, 0, B - 1)
+    # two exact correction passes absorb any float rounding drift
+    for _ in range(2):
+        i = np.where(off(i + 1) <= t, i + 1, i)
+        i = np.where(off(i) > t, i - 1, i)
+    j = i + (t - off(i))
+    return i, j
+
+
 def embedding_near_dup(ds, emb_col: str, id_col: str,
                        threshold: float,
                        block_size: int = 2048) -> pd.DataFrame:
@@ -208,7 +243,14 @@ def embedding_near_dup(ds, emb_col: str, id_col: str,
     store -> one task per block pair (i <= j) does the matmul. The
     driver only ever holds block REFS and the final pair rows; a dot
     product between two vectors is blocking-invariant, so results are
-    bit-identical to a monolithic matmul (and to the SQL oracle)."""
+    bit-identical to a monolithic matmul (and to the SQL oracle)
+    regardless of row order: off-diagonal pairs are emitted normalized
+    (min(id), max(id)) so the result does not depend on ids being
+    monotone with dataset order.
+
+    Exact-tier flops are inherently quadratic (like the SQL oracle);
+    for approximate near-dup at corpus scale use the banded-LSH shape
+    of ``ann_lsh`` / ``dedup.minhash_lsh_pairs``."""
 
     def pack(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False) \
@@ -230,11 +272,14 @@ def embedding_near_dup(ds, emb_col: str, id_col: str,
                              "cosine": pd.Series(dtype=np.float64)})
 
     import ray.data as rd
-    items = [{"i": i, "j": j} for i in range(len(refs))
-             for j in range(i, len(refs))]
-    # one block per few pairs so the pair matmuls spread across the pool
-    pairs = rd.from_items(
-        items, override_num_blocks=max(1, (len(items) + 3) // 4))
+    B = len(refs)
+    n_pairs = B * (B + 1) // 2
+    # Streamed pair indices: rd.range is lazy (no driver-side list);
+    # block count is capped so range metadata stays driver-sized even
+    # when n_pairs explodes, while batch_size keeps per-call work and
+    # the per-actor block cache bounded.
+    pairs = rd.range(n_pairs, override_num_blocks=max(
+        1, min((n_pairs + 3) // 4, pool_size() * 64)))
 
     class PairBlock:
         def __init__(self, refs):
@@ -259,20 +304,28 @@ def embedding_near_dup(ds, emb_col: str, id_col: str,
             return self.cache[k]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            t = batch["id"].to_numpy(zero_copy_only=False)
+            bis, bjs = _pair_of_index(t, B)
             out_a, out_b, out_c = [], [], []
-            for i, j in zip(batch["i"].to_pylist(),
-                            batch["j"].to_pylist()):
-                ids_i, mat_i = self._load(i)
-                ids_j, mat_j = self._load(j)
+            for i, j in zip(bis, bjs):
+                ids_i, mat_i = self._load(int(i))
+                ids_j, mat_j = self._load(int(j))
                 sims = mat_i @ mat_j.T
                 bi, bj = np.nonzero(sims >= threshold)
-                a, b = ids_i[bi], ids_j[bj]
-                keep = a < b
+                if i == j:
+                    a, b = ids_i[bi], ids_j[bj]
+                    keep = a < b
+                else:
+                    # normalize orientation: the smaller id may live in
+                    # either block (ids need not be monotone with order)
+                    a = np.minimum(ids_i[bi], ids_j[bj])
+                    b = np.maximum(ids_i[bi], ids_j[bj])
+                    keep = a != b
                 out_a.append(a[keep])
                 out_b.append(b[keep])
                 out_c.append(np.round(sims[bi, bj][keep], 6))
-            cat = lambda xs, t: (np.concatenate(xs) if xs
-                                 else np.empty(0, t))
+            cat = lambda xs, t_: (np.concatenate(xs) if xs
+                                  else np.empty(0, t_))
             return pa.table({
                 "a": pa.array(cat(out_a, np.int64)),
                 "b": pa.array(cat(out_b, np.int64)),

@@ -91,21 +91,31 @@ def asof_join(probes, snapshots, key: str, probe_ts: str, snap_ts: str,
 
     out_cols = probe_cols + [snap_ts] + value_cols
 
-    def restore(df: pd.DataFrame) -> pd.DataFrame:
-        for c, dt in probe_dtypes.items():
-            if c in df.columns and df[c].dtype != dt \
-                    and not df[c].isna().any():
-                df[c] = df[c].astype(dt)
-        return df
+    # Restore is SCHEMA-driven, at the Arrow layer: each probe column
+    # is converted back to its ORIGINAL Arrow type (null-padded int64
+    # probe columns upcast to float64 in the pandas merge; a
+    # data-dependent isna() heuristic would leave a legitimately-null
+    # probe column float64 in some partitions and int64 in others —
+    # inconsistent block schemas on union). Arrow int64 carries nulls,
+    # so nullable probe columns keep their type end-to-end.
+    probe_arrow_types = {n: t for n, t in fields_of(probes)}
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def to_output(df: pd.DataFrame) -> pa.Table:
+        cols = {}
+        for c in out_cols:
+            typ = probe_arrow_types.get(c)
+            cols[c] = pa.array(df[c], type=typ, from_pandas=True) \
+                if typ is not None else pa.array(df[c], from_pandas=True)
+        return pa.table(cols)
+
+    def merge(g: pd.DataFrame) -> pa.Table:
         pr = g[g[_SIDE] == 0]
         sn = g[g[_SIDE] == 1]
         if len(sn) == 0 and len(pr) == 0:
-            return pd.DataFrame(
+            return to_output(pd.DataFrame(
                 {c: pd.Series(dtype=probe_dtypes.get(c, g[c].dtype))
-                 for c in out_cols})
-        return restore(local_asof_merge(
+                 for c in out_cols}))
+        return to_output(local_asof_merge(
             pr, sn, key, probe_ts, snap_ts, value_cols, probe_cols,
             tolerance=tolerance))
 

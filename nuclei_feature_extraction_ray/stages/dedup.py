@@ -44,6 +44,17 @@ def _empty(cols: dict) -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
 
 
+def _sig_matrix(col, num_hashes: int) -> np.ndarray:
+    """(n, k) uint64 signature matrix from a binary Arrow/pandas column
+    of fixed 8*k-byte signatures — ONE frombuffer over the joined
+    bytes, no per-row unpacking."""
+    vals = col.to_pylist() if hasattr(col, "to_pylist") else list(col)
+    if not vals:
+        return np.empty((0, num_hashes), np.uint64)
+    return np.frombuffer(b"".join(vals), np.uint64) \
+        .reshape(len(vals), num_hashes)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -249,9 +260,16 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
         texts = batch[text_col].to_pandas()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         shingles = [word_shingles(t, ngram) for t in _tokenize(texts)]
+        # Zero-shingle (empty / whitespace-only) docs are dropped HERE:
+        # their all-max sentinel signatures would otherwise share LSH
+        # buckets and agree on every lane, pairing all empty docs at
+        # jaccard_est = 1.0 — while exact Jaccard of an empty union is
+        # 0 (jaccard_pairs and its SQL oracle both exclude them).
+        keep = np.asarray([len(s) > 0 for s in shingles], bool)
+        shingles = [s for s in shingles if len(s)]
         sigs = minhash_signatures(shingles, k=num_hashes)
         return pa.table({
-            "doc": pa.array(ids.astype(np.int64)),
+            "doc": pa.array(ids[keep].astype(np.int64)),
             "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
         })
 
@@ -260,9 +278,7 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
 
     def bandrows(batch: pa.Table) -> pa.Table:
         docs = batch["doc"].to_numpy(zero_copy_only=False)
-        sigm = np.vstack([np.frombuffer(b, np.uint64)
-                          for b in batch["sig"].to_pylist()]) \
-            if len(batch) else np.empty((0, num_hashes), np.uint64)
+        sigm = _sig_matrix(batch["sig"], num_hashes)
         keys = lsh_band_keys(sigm, bands)
         n = len(docs)
         return pa.table({
@@ -312,10 +328,7 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
 
         def to_mat(t: pa.Table):
             ids = t["doc"].to_numpy(zero_copy_only=False)
-            m = np.vstack([np.frombuffer(b, np.uint64)
-                           for b in t["sig"].to_pylist()]) \
-                if len(t) else np.empty((0, num_hashes), np.uint64)
-            return ids, m
+            return ids, _sig_matrix(t["sig"], num_hashes)
 
         tabs = [ray.get(r) for r in sigs_ds.to_arrow_refs()]
         parts = [to_mat(t) for t in tabs if t.num_rows]

@@ -158,3 +158,92 @@ def test_ann_lsh_recall_vs_bruteforce():
     # scores of overlapping neighbors identical
     m = exact.merge(approx, on=["query_id", "neighbor_id"])
     np.testing.assert_allclose(m["score_x"], m["score_y"])
+
+
+def test_minhash_empty_docs_never_pair():
+    """ADVICE r2: empty/whitespace-only docs share the all-max sentinel
+    signature; they must be filtered before banding, not paired at
+    jaccard_est=1.0 (exact Jaccard of an empty union is 0, and the
+    jaccard SQL oracle excludes empty docs)."""
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["", "   \t ", None,
+                          "alpha beta gamma delta",
+                          "alpha beta gamma delta"], pa.string())})
+    out = minhash_lsh_pairs(rd.from_arrow(tbl), "text", "doc_id",
+                            ngram=2, threshold=0.2).to_pandas()
+    got = set(map(tuple, out[["a", "b"]].to_numpy()))
+    assert got == {(3, 4)}
+    # keyed-join tier agrees
+    import pytest as _pytest
+    mp = _pytest.MonkeyPatch()
+    from nuclei_feature_extraction_ray.stages import dedup as dd
+    mp.setattr(dd, "SIG_BROADCAST_MAX_BYTES", 0)
+    try:
+        out2 = minhash_lsh_pairs(rd.from_arrow(tbl), "text", "doc_id",
+                                 ngram=2, threshold=0.2).to_pandas()
+    finally:
+        mp.undo()
+    assert set(map(tuple, out2[["a", "b"]].to_numpy())) == {(3, 4)}
+
+
+def test_pair_of_index_enumerates_every_block_pair():
+    """Streaming pair-index arithmetic (replaces the O(B^2) driver
+    list): every (i <= j) pair exactly once, row-major."""
+    from nuclei_feature_extraction_ray.stages.ann import _pair_of_index
+    for B in (1, 2, 3, 7, 64, 513):
+        t = np.arange(B * (B + 1) // 2, dtype=np.int64)
+        i, j = _pair_of_index(t, B)
+        want = [(a, b) for a in range(B) for b in range(a, B)]
+        assert list(zip(i.tolist(), j.tolist())) == want
+
+
+def test_embedding_near_dup_shuffled_ids_multi_block():
+    """ADVICE r2 (high): pairs whose smaller doc id lives in the LATER
+    block were dropped by the keep = a < b filter. With shuffled ids
+    across several blocks the result must still equal the monolithic
+    matmul."""
+    from nuclei_feature_extraction_ray.stages.ann import (
+        _norm_rows, embedding_near_dup)
+    rng = np.random.default_rng(11)
+    n, d = 120, 16
+    mat = rng.standard_normal((n, d))
+    # plant near-dup pairs whose ids are anti-monotone with row order
+    mat[100] = mat[5] + 0.01 * rng.standard_normal(d)
+    mat[3] = mat[110] + 0.01 * rng.standard_normal(d)
+    ids = rng.permutation(n).astype(np.int64)   # ids NOT sorted by row
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(list(mat.astype(np.float64)),
+                                          pa.list_(pa.float64()))})
+    got = embedding_near_dup(rd.from_arrow(tbl), "embedding", "vec_id",
+                             threshold=0.6, block_size=16)
+    got_set = set(map(tuple, got[["a", "b"]].to_numpy()))
+
+    nm = _norm_rows(mat)
+    sims = nm @ nm.T
+    ri, rj = np.nonzero(np.triu(sims >= 0.6, k=1))
+    want = {(min(ids[x], ids[y]), max(ids[x], ids[y]))
+            for x, y in zip(ri, rj)}
+    assert got_set == want and len(want) >= 2
+    # scores match the monolithic matmul bit-for-bit (after the shared
+    # round-6)
+    lut = {(min(ids[x], ids[y]), max(ids[x], ids[y])):
+           round(float(sims[x, y]), 6) for x, y in zip(ri, rj)}
+    for _, r in got.iterrows():
+        assert lut[(r["a"], r["b"])] == r["cosine"]
+
+
+def test_stack_fixed_size_list_slice_and_nulls():
+    """ADVICE r2: the FixedSizeList fast path ignored the slice offset
+    (wrong rows) and nulls (misaligned reshape)."""
+    from nuclei_feature_extraction_ray.stages.ann import _stack
+    base = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.arange(12.0)), 3)
+    sl = base.slice(1, 2)
+    np.testing.assert_array_equal(
+        _stack(sl), np.arange(3.0, 9.0).reshape(2, 3))
+    with_null = pa.array([[1.0, 2.0], None, [5.0, 6.0]],
+                         pa.list_(pa.float64(), 2))
+    out = _stack(with_null)
+    np.testing.assert_array_equal(out[0], [1.0, 2.0])
+    np.testing.assert_array_equal(out[2], [5.0, 6.0])

@@ -249,3 +249,71 @@ def test_entry_smoke():
     df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
     assert len(df) > 0
     assert list(df.columns) == FEATURE_COLUMNS
+
+
+def test_asof_nullable_probe_column_keeps_arrow_type():
+    """VERDICT r2: dtype restore is schema-driven — an int64 probe
+    column that legitimately CONTAINS nulls must stay Arrow int64 in
+    every partition (the old isna() heuristic left it float64 in some
+    partitions and int64 in others)."""
+    from nuclei_feature_extraction_ray.stages.asof import asof_join
+    probes = pa.table({
+        "user": pa.array(["u1", "u2", "u3", "u4"]),
+        "qts": pa.array([10, 20, 30, 40], pa.timestamp("us")),
+        "tag": pa.array([7, None, 9, None], pa.int64()),   # nullable!
+    })
+    snaps = pa.table({
+        "user": pa.array(["u1", "u3"]),
+        "sts": pa.array([5, 25], pa.timestamp("us")),
+        "v": pa.array([1.5, 2.5], pa.float64()),
+    })
+    out = asof_join(rd.from_arrow(probes), rd.from_arrow(snaps),
+                    key="user", probe_ts="qts", snap_ts="sts",
+                    value_cols=["v"], num_partitions=3)
+    sch = out.schema()
+    assert dict(zip(sch.names, sch.types))["tag"] == pa.int64()
+    df = out.to_pandas().sort_values("user").reset_index(drop=True)
+    assert len(df) == 4
+    assert df["tag"].tolist()[0] == 7 and pd.isna(df["tag"].tolist()[1])
+    assert df.loc[df["user"] == "u3", "v"].iloc[0] == 2.5
+
+
+def test_fused_probe_guards(pages_tbl, tmp_path):
+    """ADVICE r2: fused probe serve + hot salting must raise (not
+    silently skip), and finalize_fused_probes must refuse to run when
+    no partition probe files exist at all."""
+    from nuclei_feature_extraction_ray.pipelines.pages_features import (
+        finalize_fused_probes, run_checkpointed)
+    probes_tbl = generate_probes(pages_tbl, 20)
+    ds = rd.from_arrow(pages_tbl.select(["url", "warc_ts", "html",
+                                         "lang"]))
+    with pytest.raises(ValueError, match="salting"):
+        run_checkpointed(ds, str(tmp_path / "ck"), num_partitions=4,
+                         resume=False, hot_threshold=1,  # all urls hot
+                         probes_ds=rd.from_arrow(probes_tbl),
+                         probe_dir=str(tmp_path / "pd"))
+    with pytest.raises(ValueError, match="no part="):
+        finalize_fused_probes(str(tmp_path / "nonexistent"),
+                              rd.from_arrow(probes_tbl), 4)
+
+
+def test_filter_cli_domain_matches_pathless_urls(tmp_path):
+    """ADVICE r2: path-less urls (https://example.org) must match the
+    --domains host filter."""
+    from datetime import datetime
+
+    import pyarrow.parquet as pq
+
+    from nuclei_feature_extraction_ray.filter_cli import slice_pages
+    tbl = pa.table({
+        "url": pa.array(["https://example.org",
+                         "https://example.org/a/b",
+                         "https://other.net/x"]),
+        "warc_ts": pa.array([1_000_000, 2_000_000, 3_000_000],
+                            pa.timestamp("us")),
+    })
+    out = slice_pages(rd.from_arrow(tbl), datetime(1970, 1, 1),
+                      datetime(2000, 1, 1),
+                      domains=["example.org"]).to_pandas()
+    assert sorted(out["url"]) == ["https://example.org",
+                                  "https://example.org/a/b"]
