@@ -888,11 +888,169 @@ def multimodal_resize(sf_dir: str):
 
 
 # ===========================================================================
-# pages flagship (synthetic corpus; no SQL view -> rows-only checks)
+# pages flagship. The synthetic corpus is plain parquet on disk, so the
+# flagship's SQL-expressible surface gets FULL DuckDB oracles too
+# (registered dynamically in all_oracle_sql: the SQL embeds the
+# deterministic corpus path, generated-and-cached on first use). The
+# html->feature pipelines (pages_features / pages_probe_features) stay
+# rows-only: their per-row kernels are oracled via doc_* over the
+# documents view, and pages_features_core oracles the full
+# extract->dedup->shuffle->windowed path end-to-end.
 # ===========================================================================
 
 def _corpus_scale(sf_dir: str) -> str:
     return "t1" if "0.001" in sf_dir else "t2"
+
+
+def _pages_glob(scale: str) -> str:
+    from ..corpus import corpus_dir
+    return os.path.join(corpus_dir(scale), "pages", "*.parquet")
+
+
+#: gap threshold shared by pages_sessions and the flagship session
+#: family (pipelines.pages_features.SESSION_GAP = 30 days)
+_PAGES_GAP_SEC = 30 * 86400
+
+
+def pages_sessions_sql(scale: str) -> str:
+    """DuckDB oracle for ``pages_sessions`` — identical shape to the
+    events ``sessionize``/``session_stats`` oracles, over the corpus
+    parquet. Duplicate (url, warc_ts) rows are harmless here: ties gap
+    0 <= threshold, so per-row session ids are tie-order-invariant."""
+    return """
+    WITH g AS (
+      SELECT url, warc_ts,
+             epoch(warc_ts - lag(warc_ts) OVER w) AS gap_sec
+      FROM read_parquet('{glob}')
+      WINDOW w AS (PARTITION BY url ORDER BY warc_ts)
+    ), s AS (
+      SELECT url, warc_ts,
+             sum(CASE WHEN gap_sec IS NULL
+                      OR gap_sec > CAST({gap} AS DOUBLE)
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY url ORDER BY warc_ts
+                     ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM g)
+    SELECT url, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(warc_ts) AS start_ts, max(warc_ts) AS end_ts,
+           epoch(max(warc_ts) - min(warc_ts)) AS duration_sec
+    FROM s GROUP BY url, session_id""".format(
+        glob=_pages_glob(scale), gap=_PAGES_GAP_SEC)
+
+
+def pages_features_core_sql(scale: str) -> str:
+    """DuckDB oracle for ``pages_features_core`` — the flagship
+    extract -> dedup -> url-partition -> windowed-features path with
+    the text+windowed families, verified bit-exact end-to-end.
+
+    The corpus ``text`` column IS the canonical extraction
+    (corpus.extract_text_one; the pipeline's vectorized extractor is
+    byte-identical, tests/test_corpus.py), so the SQL starts from
+    ``text``. Urls carrying duplicate (url, warc_ts) snapshots are
+    excluded on BOTH sides: the engine's dedup winner (min 64-bit
+    SipHash of the html bytes) is not SQL-expressible; whole-url
+    exclusion leaves every other url's windows untouched. Float
+    policy: every windowed column is either an epoch()-formula match
+    (gap_sec, days_since_first, duration), an exact-integer fold
+    (r30_* over int n_chars), or a single int/int division
+    (lang_stab_5, r30_mean) — bit-exact in both engines."""
+    stats = ", ".join("%s AS %s" % (expr, name) for name, expr
+                      in text_stats_sql("text").items())
+    return """
+    WITH pages AS (
+      SELECT url, warc_ts, text, lang
+      FROM read_parquet('{glob}')
+      WHERE text IS NOT NULL
+        AND url NOT IN (SELECT url FROM read_parquet('{glob}')
+                        GROUP BY url, warc_ts HAVING count(*) > 1)
+    ), stats AS (
+      SELECT url, warc_ts, lang, {stats} FROM pages
+    ), l1 AS (
+      SELECT *,
+        CAST(row_number() OVER wu - 1 AS BIGINT) AS snap_idx,
+        epoch(warc_ts - lag(warc_ts) OVER wu) AS gap_sec,
+        CAST(n_chars - lag(n_chars) OVER wu AS DOUBLE) AS delta_n_chars,
+        epoch(warc_ts - min(warc_ts) OVER wc) / 86400.0
+          AS days_since_first,
+        CAST(min(n_chars) OVER w30 AS DOUBLE) AS r30_min,
+        CAST(max(n_chars) OVER w30 AS DOUBLE) AS r30_max,
+        CAST(sum(n_chars) OVER w30 AS DOUBLE) / (count(*) OVER w30)
+          AS r30_mean,
+        CAST(count(*) OVER w30 AS BIGINT) AS r30_count,
+        CAST(CASE WHEN lag(lang) OVER wu IS NOT NULL
+                  AND lang <> lag(lang) OVER wu
+             THEN 1 ELSE 0 END AS BIGINT) AS lang_changed,
+        CAST(1 + (CASE WHEN lag(lang, 1) OVER wu = lang
+                  THEN 1 ELSE 0 END)
+               + (CASE WHEN lag(lang, 2) OVER wu = lang
+                  THEN 1 ELSE 0 END)
+               + (CASE WHEN lag(lang, 3) OVER wu = lang
+                  THEN 1 ELSE 0 END)
+               + (CASE WHEN lag(lang, 4) OVER wu = lang
+                  THEN 1 ELSE 0 END) AS DOUBLE)
+          / LEAST(row_number() OVER wu, 5) AS lang_stab_5
+      FROM stats
+      WINDOW wu AS (PARTITION BY url ORDER BY warc_ts),
+             wc AS (PARTITION BY url ORDER BY warc_ts
+                    ROWS UNBOUNDED PRECEDING),
+             w30 AS (PARTITION BY url ORDER BY warc_ts
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT url, warc_ts, lang, n_chars, n_bytes, n_lines, n_tokens,
+           mean_token_len, ttr, degenerate_class, alpha_ratio,
+           digit_ratio, upper_ratio, ws_ratio, other_ratio, snap_idx,
+           gap_sec, delta_n_chars, days_since_first, r30_min, r30_max,
+           r30_mean, r30_count,
+           CAST(sum(CASE WHEN gap_sec IS NULL
+                         OR gap_sec > CAST({gap} AS DOUBLE)
+                    THEN 1 ELSE 0 END)
+                OVER (PARTITION BY url ORDER BY warc_ts
+                      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+             AS session_id,
+           lang_changed, lang_stab_5
+    FROM l1""".format(glob=_pages_glob(scale), stats=stats,
+                      gap=_PAGES_GAP_SEC)
+
+
+def _duplicated_ts_urls(pages_ds, num_partitions: int = 16) -> list[str]:
+    """Urls having any duplicate (url, warc_ts) snapshot pair —
+    detected distributed (one narrow url-hash exchange of the two key
+    columns); the returned url list is tiny by nature (exact-dup keys
+    are data errors)."""
+    def find(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g.duplicated(["url", "warc_ts"], keep=False)]
+        return pd.DataFrame({"url": pd.unique(d["url"])})
+
+    out = partitioned_apply(
+        pages_ds.select_columns(["url", "warc_ts"]), "url", find,
+        num_partitions)
+    return out.to_pandas()["url"].tolist()
+
+
+@register("pages_features_core")   # SQL attached in all_oracle_sql
+def pages_features_core(sf_dir: str):
+    """The flagship transform (extract -> exact dedup -> ONE url-hash
+    shuffle -> per-partition sort -> windowed feature kernels) with
+    the text+windowed families — its full DuckDB oracle is
+    pages_features_core_sql. Urls with duplicate (url, warc_ts) keys
+    are excluded on both sides (see the SQL docstring)."""
+    from ..corpus import corpus_dir
+    from .pages_features import compute_features
+    d = corpus_dir(_corpus_scale(sf_dir))
+    pages = rd.read_parquet(os.path.join(d, "pages"),
+                            columns=["url", "warc_ts", "html", "lang"])
+    dup = _duplicated_ts_urls(pages)
+    feats = compute_features(pages, num_partitions=16,
+                             families=["text", "windowed"])
+    dup_set = pa.array(sorted(dup), pa.string())
+
+    def drop_dup(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(
+            pc.is_in(batch["url"], value_set=dup_set)))
+
+    return feats.map_batches(drop_dup, batch_format="pyarrow")
 
 
 @register("pages_features")
@@ -940,4 +1098,11 @@ def all_queries() -> dict:
 
 
 def all_oracle_sql() -> dict[str, str]:
-    return dict(ORACLE)
+    """Static oracles + the flagship oracles (built lazily here: their
+    SQL embeds the deterministic corpus path, and building it
+    generates-and-caches the corpus the driver will compare at —
+    correctness runs at sf0.01 -> the t2 corpus)."""
+    out = dict(ORACLE)
+    out["pages_sessions"] = pages_sessions_sql("t2")
+    out["pages_features_core"] = pages_features_core_sql("t2")
+    return out
