@@ -111,6 +111,34 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x, axis=1).sum(axis=1)
 
 
+def winnow_fingerprint_md5(text: str, k: int = 8,
+                           window: int = 16) -> list[str]:
+    """Winnowing with a PORTABLE gram hash — the first 16 hex chars of
+    md5 — so the whole op is reproducible in DuckDB SQL and therefore
+    driver-oracled (``winnow_fingerprint``'s SipHash key lives inside
+    pandas). Identical algorithm: hash char k-grams, keep each sliding
+    window's minimum, deduplicate. Hex-string order == numeric order
+    (fixed-width lowercase hex), so minima are computed on uint64 and
+    formatted back. Returns the sorted fingerprint set as hex strings.
+    """
+    import hashlib
+    h = lambda s: int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+    n = len(text)
+    if n == 0:
+        return []
+    if n < k:
+        mins = np.asarray([h(text)], np.uint64)
+    else:
+        hv = np.asarray([h(text[i:i + k]) for i in range(n - k + 1)],
+                        np.uint64)
+        if len(hv) <= window:
+            mins = hv.min(keepdims=True)
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(hv, window)
+            mins = np.unique(sw.min(axis=1))
+    return ["%016x" % m for m in np.unique(mins)]
+
+
 def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> np.ndarray:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
     hash all char k-grams, keep the min of each sliding window,

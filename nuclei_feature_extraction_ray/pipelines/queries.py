@@ -332,6 +332,53 @@ def doc_fingerprint(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+@register("doc_fingerprint_md5", sql="""
+    WITH g AS (
+      SELECT doc_id, length(coalesce(text, '')) AS n,
+        CASE WHEN length(coalesce(text, '')) = 0
+               THEN CAST([] AS VARCHAR[])
+             WHEN length(text) < 8 THEN [substr(md5(text), 1, 16)]
+             ELSE list_transform(range(1, length(text) - 8 + 2),
+                    i -> substr(md5(substr(text, i, 8)), 1, 16))
+        END AS hv
+      FROM documents
+    ), w AS (
+      SELECT doc_id,
+        CASE WHEN len(hv) = 0 THEN CAST([] AS VARCHAR[])
+             WHEN len(hv) <= 16 THEN [list_min(hv)]
+             ELSE list_distinct(list_transform(
+                    range(1, len(hv) - 16 + 2),
+                    j -> list_min(hv[j:j+15])))
+        END AS fps
+      FROM g)
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           list_min(fps) AS fp_min, list_max(fps) AS fp_max
+    FROM w""")
+def doc_fingerprint_md5(sf_dir: str):
+    """Winnowing fingerprint with the PORTABLE md5 gram hash
+    (functions/hashing.winnow_fingerprint_md5) — algorithmically
+    identical to doc_fingerprint but fully reproducible in DuckDB, so
+    the winnowing op gets a driver-verified oracle (VERDICT r2 #6).
+    Fixed-width lowercase hex == numeric order, so window minima and
+    fp_min/fp_max agree across engines by construction."""
+    from ..functions.hashing import winnow_fingerprint_md5
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        fps = [winnow_fingerprint_md5(t if isinstance(t, str) else "")
+               for t in batch["text"]]
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "n_fingerprints": np.asarray([len(f) for f in fps],
+                                         np.int64),
+            "fp_min": [f[0] if f else None for f in fps],
+            "fp_max": [f[-1] if f else None for f in fps],
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 # ===========================================================================
 # events: windowed temporal operators (north_rule core)
 # ===========================================================================
