@@ -136,13 +136,22 @@ def run_headline(num_partitions: int = 32) -> dict:
         shutil.rmtree(out_root, ignore_errors=True)
 
 
+#: repeats per query, min-of-N recorded: single-shot numbers alias the
+#: shared host's load epochs into round-over-round comparisons
+QUERY_REPEATS = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
+
+
 def run_queries() -> dict:
     from nuclei_feature_extraction_ray.pipelines.queries import QUERIES
     out = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        n = consume(QUERIES[name](SF_DIR))
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(QUERY_REPEATS):
+            t0 = time.perf_counter()
+            n = consume(QUERIES[name](SF_DIR))
+            sec = time.perf_counter() - t0
+            best = sec if best is None else min(best, sec)
+        out[name] = round(best, 3)
         out[name + "_rows"] = n
     return out
 
@@ -171,6 +180,7 @@ def main() -> None:
                     if not k.endswith("_rows")},
         "query_rows": {k[:-5]: v for k, v in queries.items()
                        if k.endswith("_rows")},
+        "query_repeats": QUERY_REPEATS,
         "sf": SF_DIR,
         "num_cpus": NCPU,
         **head,

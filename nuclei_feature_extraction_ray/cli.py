@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--probes", default=None,
                    help="optional (url, query_ts) parquet for as-of serve")
     p.add_argument("--probe-output", default=None)
+    p.add_argument("--single-file", action="store_true",
+                   help="coalesce the probe output into ONE file "
+                        "(streamed; for driver-sized results)")
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--resume", action="store_true",
                    help="skip partitions with committed manifests")
@@ -93,7 +96,8 @@ def main(argv: list[str] | None = None) -> int:
                 probe_features_from_checkpoint(
                     args.output, rd.read_parquet(args.probes),
                     num_partitions=args.partitions),
-                probe_out, args.output_format)
+                probe_out, args.output_format,
+                single_file=args.single_file)
             summary["probe_output"] = probe_out
         print(json.dumps(summary))
         return 0

@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep only urls whose host is in this set")
     p.add_argument("--output-format", default="parquet",
                    choices=["parquet", "csv", "json", "ipc", "feather"])
+    p.add_argument("--single-file", action="store_true",
+                   help="write ONE output file instead of a part-file "
+                        "directory (streamed; for driver-sized slices)")
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--num-cpus", type=int, default=None)
     return p
@@ -101,7 +104,8 @@ def main(argv: list[str] | None = None) -> int:
         ds = rd.read_parquet(args.input)
         out = slice_pages(ds, ts_from, ts_to, rebase=args.rebase,
                           domains=args.domains)
-        write_table(out, args.output, args.output_format)
+        write_table(out, args.output, args.output_format,
+                    single_file=args.single_file)
         n = rd.read_parquet(args.output).count() \
             if args.output_format == "parquet" else -1
         print(json.dumps({"output": args.output, "rows": n}))

@@ -91,9 +91,59 @@ def _write_ipc(ds, path: str, **kwargs) -> None:
                    batch_size=None).materialize()
 
 
-def write_table(ds, path: str, fmt: str = "parquet", **kwargs) -> None:
+def _write_single_file(ds, path: str, fmt: str) -> None:
+    """Coalesce a Dataset into ONE output file — the reference's
+    one-file-per-slide output parity (src/main.rs:161-189). A single
+    file fundamentally serializes the sink, so this streams
+    ``iter_batches`` through one incremental writer (bounded memory,
+    never a whole-table materialize) and is meant for driver-sized
+    results; the directory-of-parts sinks remain the scale path."""
+    import pyarrow.parquet as pq
+
+    # one ITERATOR (iter_batches returns a restartable iterable —
+    # iter()ing it twice would re-emit the first batch)
+    batches = iter(ds.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"))
+    tmp, writer = path + ".tmp", None
+    try:
+        first = next(batches, None)
+        schema = first.schema if first is not None else pa.schema([])
+        if fmt == "parquet":
+            writer = pq.ParquetWriter(tmp, schema)
+            emit = lambda t: writer.write_table(t)
+        elif fmt in ("ipc", "feather"):
+            writer = pa.ipc.new_file(tmp, schema)
+            emit = lambda t: writer.write_table(t)
+        elif fmt == "csv":
+            from pyarrow import csv as pacsv
+            writer = pacsv.CSVWriter(tmp, schema)
+            emit = lambda t: writer.write_table(t)
+        elif fmt == "json":
+            f = open(tmp, "w")
+            writer = f
+            emit = lambda t: t.to_pandas().to_json(
+                f, orient="records", lines=True)
+        else:
+            raise ValueError(
+                "unsupported output format %r (supported: %s)"
+                % (fmt, WRITE_FORMATS))
+        if first is not None:
+            emit(first)                  # Ray yields pa.Table batches
+            for b in batches:
+                emit(b)
+    finally:
+        if writer is not None:
+            writer.close()
+    os.replace(tmp, path)
+
+
+def write_table(ds, path: str, fmt: str = "parquet",
+                single_file: bool = False, **kwargs) -> None:
     """Write a Dataset as a directory of part files in the given
-    format."""
+    format — or, with ``single_file=True``, as exactly one file."""
+    if single_file:
+        _write_single_file(ds, path, fmt)
+        return
     if fmt == "parquet":
         ds.write_parquet(path, **kwargs)
     elif fmt == "csv":

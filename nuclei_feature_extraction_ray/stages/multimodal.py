@@ -5,12 +5,17 @@ Design: media ride as opaque ``binary`` columns with typed metadata,
 processed by actor-pool ``map_batches`` stages (decoder state built once
 per actor in ``__init__`` — the pattern the reference implements with a
 mutex-shared slide handle, ``src/input.rs:15-30``, here lock-free).
-The image/audio libraries are not in this container, so the actual
-codec is STUBBED: ``DecodeMedia`` tries to import PIL and otherwise
-uses a deterministic fake decoder (8-byte header = width/height,
-features = byte-level moments computed with numpy — real vectorized
-kernels over the payload). Requesting a real resize without a codec
-raises ``NotImplementedError`` loudly rather than faking silently.
+Each stage has TWO codec tiers behind ``real_codec``:
+
+* ``real_codec=False`` (default; works everywhere): a deterministic
+  fake raster format (8-byte header = width/height, body = grayscale
+  bytes) with real vectorized numpy kernels — exercises the exact
+  actor/batch/schema plumbing of the real path.
+* ``real_codec=True``: PIL-backed decode / resize / frame-iterate
+  (png/jpg/gif/...), import-guarded — if PIL is absent (this
+  container) it raises ``NotImplementedError`` loudly rather than
+  faking silently. Tests exercise this tier and skip gracefully when
+  PIL is missing.
 """
 
 from __future__ import annotations
@@ -19,6 +24,19 @@ import numpy as np
 import pyarrow as pa
 
 HEADER_BYTES = 8
+
+
+def _import_pil(what: str):
+    """Import-guarded PIL: the real-codec path is first-class code but
+    this container has no image libraries, so requesting it without
+    PIL raises loudly instead of faking silently."""
+    try:
+        import PIL.Image
+        return PIL.Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image codec requested but PIL is unavailable; "
+            "use real_codec=False for the deterministic %s" % what) from e
 
 
 def make_payload(data: bytes, width: int, height: int) -> bytes:
@@ -39,15 +57,20 @@ class DecodeMedia:
 
     def __init__(self, payload_col: str = "payload", real_codec: bool = False):
         self.payload_col = payload_col
-        self.codec = None
-        if real_codec:
-            try:
-                import PIL.Image  # noqa: F401  (absent in this container)
-                self.codec = PIL.Image
-            except ImportError as e:
-                raise NotImplementedError(
-                    "real image codec requested but PIL is unavailable; "
-                    "use real_codec=False for the deterministic stub") from e
+        # real path: payloads are actual encoded images (png/jpg/...)
+        # decoded by PIL once per row; grayscale pixels feed the same
+        # moment kernels as the stub body bytes
+        self.codec = _import_pil("stub") if real_codec else None
+
+    def _real_decode(self, p: bytes):
+        """(w, h, grayscale-pixel bytes) via PIL, or None if broken."""
+        import io
+        try:
+            img = self.codec.open(io.BytesIO(p))
+            arr = np.asarray(img.convert("L"), np.uint8)
+            return img.width, img.height, arr.reshape(-1)
+        except Exception:
+            return None     # degenerate -> NaN features, never crash
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
@@ -59,11 +82,17 @@ class DecodeMedia:
         std = np.full(n, np.nan)
         entropy = np.full(n, np.nan)
         for i, p in enumerate(payloads):
-            if p is None or len(p) < HEADER_BYTES:
+            if self.codec is not None:
+                dec = self._real_decode(p) if p is not None else None
+                if dec is None:
+                    continue
+                width[i], height[i], body = dec
+            elif p is None or len(p) < HEADER_BYTES:
                 continue  # degenerate -> NaN features, never crash
-            width[i] = int.from_bytes(p[:4], "little")
-            height[i] = int.from_bytes(p[4:8], "little")
-            body = np.frombuffer(p, np.uint8, offset=HEADER_BYTES)
+            else:
+                width[i] = int.from_bytes(p[:4], "little")
+                height[i] = int.from_bytes(p[4:8], "little")
+                body = np.frombuffer(p, np.uint8, offset=HEADER_BYTES)
             nbytes[i] = len(body)
             if len(body):
                 mean[i] = body.mean()
@@ -97,16 +126,27 @@ class ResizeMedia:
                  payload_col: str = "payload", real_codec: bool = False):
         self.out_w, self.out_h = int(out_w), int(out_h)
         self.payload_col = payload_col
-        if real_codec:
-            try:
-                import PIL.Image  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "real image codec requested but PIL is unavailable; "
-                    "use real_codec=False for the raster stub") from e
+        self.codec = _import_pil("raster stub") if real_codec else None
+
+    def _one_real(self, p: bytes) -> bytes | None:
+        """PIL path: decode -> nearest-neighbour resize -> PNG bytes."""
+        import io
+        try:
+            img = self.codec.open(io.BytesIO(p))
+            small = img.resize((self.out_w, self.out_h),
+                               self.codec.NEAREST)
+            buf = io.BytesIO()
+            small.save(buf, format="PNG")
+            return buf.getvalue()
+        except Exception:
+            return None
 
     def _one(self, p: bytes) -> bytes | None:
-        if p is None or len(p) < HEADER_BYTES:
+        if p is None:
+            return None
+        if self.codec is not None:
+            return self._one_real(p)
+        if len(p) < HEADER_BYTES:
             return None
         w = int.from_bytes(p[:4], "little")
         h = int.from_bytes(p[4:8], "little")
@@ -144,10 +184,40 @@ class FrameSample:
                  real_codec: bool = False):
         self.stride = max(1, int(stride))
         self.payload_col = payload_col
-        if real_codec:
-            raise NotImplementedError(
-                "AV codecs are not in this container; use "
-                "real_codec=False for the raster stub")
+        # real path: animated containers PIL can seek (GIF/APNG/TIFF);
+        # full AV codecs are out of scope for this container
+        self.codec = _import_pil("raster stub") if real_codec else None
+
+    def _frames_real(self, p: bytes) -> list[tuple[int, bytes]]:
+        """(frame_idx, PNG bytes) for every stride-th frame via PIL
+        ImageSequence; [] when the payload is not decodable."""
+        import io
+        try:
+            from PIL import ImageSequence
+            img = self.codec.open(io.BytesIO(p))
+            out = []
+            for j, frame in enumerate(ImageSequence.Iterator(img)):
+                if j % self.stride:
+                    continue
+                buf = io.BytesIO()
+                frame.convert("L").save(buf, format="PNG")
+                out.append((j, buf.getvalue()))
+            return out
+        except Exception:
+            return []
+
+    def _frames_stub(self, p: bytes) -> list[tuple[int, bytes]]:
+        if len(p) < HEADER_BYTES:
+            return []
+        w = int.from_bytes(p[:4], "little")
+        h = int.from_bytes(p[4:8], "little")
+        body = np.frombuffer(p, np.uint8, offset=HEADER_BYTES)
+        if w <= 0 or h <= 0 or len(body) < w * h:
+            return []
+        t = len(body) // (w * h)
+        vid = body[:t * w * h].reshape(t, h * w)
+        return [(j, make_payload(vid[j].tobytes(), w, h))
+                for j in range(0, t, self.stride)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         carry_cols = [c for c in batch.column_names
@@ -155,19 +225,14 @@ class FrameSample:
         idx_out, frames, fidx = [], [], []
         payloads = batch[self.payload_col].to_pylist()
         for i, p in enumerate(payloads):
-            if p is None or len(p) < HEADER_BYTES:
+            if p is None:
                 continue
-            w = int.from_bytes(p[:4], "little")
-            h = int.from_bytes(p[4:8], "little")
-            body = np.frombuffer(p, np.uint8, offset=HEADER_BYTES)
-            if w <= 0 or h <= 0 or len(body) < w * h:
-                continue
-            t = len(body) // (w * h)
-            vid = body[:t * w * h].reshape(t, h * w)
-            for j in range(0, t, self.stride):
+            got = self._frames_real(p) if self.codec is not None \
+                else self._frames_stub(p)
+            for j, fr in got:
                 idx_out.append(i)
                 fidx.append(j)
-                frames.append(make_payload(vid[j].tobytes(), w, h))
+                frames.append(fr)
         out = {c: batch[c].take(pa.array(idx_out, pa.int64()))
                for c in carry_cols}
         out["frame_idx"] = pa.array(np.asarray(fidx, np.int64))

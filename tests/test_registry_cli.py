@@ -200,3 +200,21 @@ def test_cli_env_config(tmp_path):
     finally:
         os.environ.clear()
         os.environ.update(old)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "ipc"])
+def test_single_file_roundtrip(fmt, tmp_path):
+    """--single-file parity (reference writes one output file per
+    slide, src/main.rs:161-189): exactly ONE file, values intact."""
+    tbl = pa.table({"k": pa.array([3, 1, 2], pa.int64()),
+                    "v": pa.array(["a", "b", "c"])})
+    path = str(tmp_path / ("one." + fmt))
+    write_table(rd.from_arrow(tbl), path, fmt, single_file=True)
+    assert os.path.isfile(path)
+    if fmt == "json":
+        got = pd.read_json(path, lines=True)
+    else:
+        got = read_table(path, fmt).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    want = tbl.to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"k": np.int64}), want)

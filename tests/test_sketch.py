@@ -88,3 +88,65 @@ def test_multimodal_resize_and_frame_sample():
         preserve_index=False)).map_batches(
         DecodeMedia, batch_format="pyarrow", concurrency=1).to_pandas()
     assert (dec["n_payload_bytes"] == 6).all()
+
+
+def _has_pil() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_real_codec_raises_loudly_without_pil():
+    """real_codec=True must never silently fall back to the stub."""
+    import pytest
+    if _has_pil():
+        pytest.skip("PIL present; covered by test_real_codec_with_pil")
+    from nuclei_feature_extraction_ray.stages.multimodal import (
+        DecodeMedia, FrameSample, ResizeMedia)
+    for ctor in (lambda: DecodeMedia(real_codec=True),
+                 lambda: ResizeMedia(4, 4, real_codec=True),
+                 lambda: FrameSample(real_codec=True)):
+        with pytest.raises(NotImplementedError, match="PIL"):
+            ctor()
+
+
+def test_real_codec_with_pil():
+    """PIL-backed tier (skips in bare containers): encode a real PNG,
+    decode -> metadata/moments, resize -> re-decoded dims, GIF frame
+    sampling."""
+    import pytest
+    if not _has_pil():
+        pytest.skip("PIL not available in this container")
+    import io
+
+    import PIL.Image as Image
+
+    from nuclei_feature_extraction_ray.stages.multimodal import (
+        DecodeMedia, FrameSample, ResizeMedia)
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (12, 10), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    png = buf.getvalue()
+    tbl = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "payload": pa.array([png], pa.binary())})
+    dec = DecodeMedia(real_codec=True)(tbl).to_pandas()
+    assert dec["width"].iloc[0] == 10 and dec["height"].iloc[0] == 12
+    assert abs(dec["byte_mean"].iloc[0] - arr.mean()) < 1e-3
+    rs = ResizeMedia(4, 6, real_codec=True)(tbl)
+    assert rs.to_pandas()["resize_ok"].iloc[0]
+    dec2 = DecodeMedia(real_codec=True)(
+        rs.drop_columns(["resize_ok"])).to_pandas()
+    assert dec2["width"].iloc[0] == 4 and dec2["height"].iloc[0] == 6
+    # 4-frame GIF, stride 2 -> frames 0 and 2
+    frames = [Image.fromarray(
+        np.full((6, 6), 40 * i, np.uint8), mode="L") for i in range(4)]
+    gbuf = io.BytesIO()
+    frames[0].save(gbuf, format="GIF", save_all=True,
+                   append_images=frames[1:])
+    gtbl = pa.table({"doc_id": pa.array([7], pa.int64()),
+                     "payload": pa.array([gbuf.getvalue()], pa.binary())})
+    fs = FrameSample(stride=2, real_codec=True)(gtbl).to_pandas()
+    assert fs["frame_idx"].tolist() == [0, 2]
