@@ -1061,6 +1061,79 @@ def pages_features_core_sql(scale: str) -> str:
                       gap=_PAGES_GAP_SEC)
 
 
+#: core (text+windowed) value columns served by the probe join
+def _core_value_cols() -> list[str]:
+    from ..config import feature_schema
+    return [c for c in feature_schema(["text", "windowed"])
+            if c not in ("url", "warc_ts")]
+
+
+def pages_probes_core_sql(scale: str) -> str:
+    """DuckDB oracle for ``pages_probes_core``: the flagship as-of
+    probe serve (J3) against the core feature table — DuckDB's native
+    ASOF LEFT JOIN on (url, query_ts >= warc_ts) over the
+    pages_features_core CTE. Numeric feature values are CAST to DOUBLE
+    on both sides: null padding for unmatched probes upcasts engine
+    ints partition-locally, so the comparison dtype is pinned."""
+    vals = []
+    for c in _core_value_cols():
+        vals.append("f.lang" if c == "lang"
+                    else "CAST(f.%s AS DOUBLE) AS %s" % (c, c))
+    return """
+    WITH feats AS ({core}),
+    probes AS (
+      SELECT url, query_ts FROM read_parquet('{probes}')
+      WHERE url NOT IN (SELECT url FROM read_parquet('{glob}')
+                        GROUP BY url, warc_ts HAVING count(*) > 1)
+    )
+    SELECT p.url, p.query_ts, f.warc_ts, {vals}
+    FROM probes p ASOF LEFT JOIN feats f
+      ON p.url = f.url AND p.query_ts >= f.warc_ts""".format(
+        core=pages_features_core_sql(scale),
+        probes=os.path.join(os.path.dirname(
+            os.path.dirname(_pages_glob(scale))), "probes.parquet"),
+        glob=_pages_glob(scale), vals=", ".join(vals))
+
+
+@register("pages_probes_core")   # SQL attached in all_oracle_sql
+def pages_probes_core(sf_dir: str):
+    """Flagship point-in-time probe serve with a full oracle: probes
+    (url, query_ts) as-of joined (J3, stages/asof.py) against the core
+    feature table — every probe sees the latest snapshot's features
+    with warc_ts <= query_ts, nulls when none. Numeric values emitted
+    as float64 (see pages_probes_core_sql)."""
+    from ..corpus import corpus_dir
+    from .pages_features import compute_features, probe_features
+    d = corpus_dir(_corpus_scale(sf_dir))
+    pages = rd.read_parquet(os.path.join(d, "pages"),
+                            columns=["url", "warc_ts", "html", "lang"])
+    probes = rd.read_parquet(os.path.join(d, "probes.parquet"))
+    dup_set = pa.array(sorted(_duplicated_ts_urls(pages)), pa.string())
+
+    def drop_dup(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(
+            pc.is_in(batch["url"], value_set=dup_set)))
+
+    feats = compute_features(pages, num_partitions=16,
+                             families=["text", "windowed"]) \
+        .map_batches(drop_dup, batch_format="pyarrow")
+    probes = probes.map_batches(drop_dup, batch_format="pyarrow")
+    vals = _core_value_cols()
+    out = probe_features(feats, probes, num_partitions=16,
+                         value_cols=vals)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        for c in vals:
+            if c == "lang":
+                continue
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(
+                i, c, pc.cast(batch[c], pa.float64()))
+        return batch
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
 def _duplicated_ts_urls(pages_ds, num_partitions: int = 16) -> list[str]:
     """Urls having any duplicate (url, warc_ts) snapshot pair —
     detected distributed (one narrow url-hash exchange of the two key
@@ -1152,4 +1225,5 @@ def all_oracle_sql() -> dict[str, str]:
     out = dict(ORACLE)
     out["pages_sessions"] = pages_sessions_sql("t2")
     out["pages_features_core"] = pages_features_core_sql("t2")
+    out["pages_probes_core"] = pages_probes_core_sql("t2")
     return out
