@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "session_stats", "asof_quote", "backfill", "time_slice",
     "hourly_rate", "pricing_summary", "top_spenders", "region_orders",
     "ann_cosine", "ann_lsh", "ann_ivf", "embedding_near_dup",
+    "embedding_near_dup_lsh",
     "multimodal_decode", "custkey_distinct", "custkey_distinct_approx",
 ]
 

@@ -864,6 +864,19 @@ def ann_ivf(sf_dir: str):
                            k=ANN_K)
 
 
+@register("embedding_near_dup_lsh")  # approximate tier -> rows-only;
+def embedding_near_dup_lsh(sf_dir: str):
+    """The SCALE tier of embedding near-dup: random-hyperplane bucket
+    candidates + in-bucket exact verify (stages/ann.py) — flops are
+    sum-of-bucket-squares instead of corpus-squared. Recall vs the
+    exact tier is asserted in pytest; found pairs carry exact
+    cosines."""
+    ds = rd.read_parquet(_path(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return ann_mod.embedding_near_dup_lsh(ds, "embedding", "vec_id",
+                                          threshold=COSINE_TAU)
+
+
 @register("embedding_near_dup", sql="""
     SELECT a.vec_id AS a, b.vec_id AS b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)

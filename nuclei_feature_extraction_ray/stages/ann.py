@@ -337,6 +337,111 @@ def embedding_near_dup(ds, emb_col: str, id_col: str,
         batch_size=4, fn_constructor_kwargs={"refs": refs}).to_pandas()
 
 
+def embedding_near_dup_lsh(ds, emb_col: str, id_col: str,
+                           threshold: float, n_planes: int = 12,
+                           n_tables: int = 6, seed: int = 17,
+                           num_partitions: int = 16,
+                           max_bucket: int = 4096):
+    """APPROXIMATE cosine near-dup pairs — the documented scale tier
+    of ``embedding_near_dup``: random-hyperplane bucketing (``n_tables``
+    independent tables of ``n_planes`` signed projections) generates
+    candidates, and only in-bucket pairs get an exact cosine verify,
+    so the flops are sum-of-bucket-squares instead of corpus-squared.
+    Found pairs carry EXACT cosines (verified like the exact tier);
+    recall is probabilistic (misses pairs that collide in no table —
+    measured against the exact tier in tests). Returns a Dataset of
+    (a, b, cosine), a < b.
+
+    Shuffle shape: one hash exchange on bucket carrying (table,
+    bucket, id, d*8-byte vector) x n_tables, then one on (a, b) to
+    dedup cross-table candidates. ``max_bucket`` drops degenerate
+    buckets (the hot-shingle guard of jaccard_pairs) — a bucket of the
+    whole corpus would re-quadratize the verify."""
+    import ray.data as rd  # noqa: F401  (parity with exact tier imports)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mat = _norm_rows(_stack(batch[emb_col]))
+        if mat.size == 0:
+            return pa.table({
+                "table_id": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "doc": pa.array([], pa.int64()),
+                "vec": pa.array([], pa.binary())})
+        d = mat.shape[1]
+        # planes derived deterministically from (seed, d): every batch
+        # regenerates the same projections — nothing is broadcast
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, n_planes, d))
+        vec_bytes = [r.tobytes() for r in mat]
+        t_out, b_out, d_out, v_out = [], [], [], []
+        for t in range(n_tables):
+            bits = (mat @ planes[t].T > 0).astype(np.uint8)
+            buck = np.packbits(
+                bits, axis=1, bitorder="little").astype(np.int64)
+            key = buck[:, 0]
+            for col in range(1, buck.shape[1]):
+                key = key * 256 + buck[:, col]
+            t_out.append(np.full(len(ids), t, np.int64))
+            b_out.append(key)
+            d_out.append(ids)
+            v_out.extend(vec_bytes)
+        return pa.table({
+            "table_id": pa.array(np.concatenate(t_out)),
+            "bucket": pa.array(np.concatenate(b_out)),
+            "doc": pa.array(np.concatenate(d_out)),
+            "vec": pa.array(v_out, pa.binary()),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["table_id", "bucket", "doc"],
+                          kind="mergesort")
+        g = g.drop_duplicates(["table_id", "bucket", "doc"])
+        tb = (g["table_id"].to_numpy() << np.int64(56)) \
+            ^ g["bucket"].to_numpy()
+        docs = g["doc"].to_numpy()
+        vecs = g["vec"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "cosine": pd.Series(dtype=np.float64)})
+        mat = np.frombuffer(b"".join(vecs), np.float64).reshape(n, -1)
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = tb[1:] != tb[:-1]
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], n)
+        out_a, out_b, out_c = [], [], []
+        for st, en in zip(starts, ends):
+            m = en - st
+            if m < 2 or m > max_bucket:
+                continue
+            i, j = np.triu_indices(m, k=1)
+            sims = np.einsum("ij,ij->i", mat[st + i], mat[st + j])
+            keep = sims >= threshold
+            a = docs[st + i[keep]]
+            b = docs[st + j[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_c.append(np.round(sims[keep], 6))
+        cat = lambda xs, t: (np.concatenate(xs) if xs
+                             else np.empty(0, t))
+        return pd.DataFrame({"a": cat(out_a, np.int64),
+                             "b": cat(out_b, np.int64),
+                             "cosine": cat(out_c, np.float64)})
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b", "cosine"]]
+
+    from .partition import partition_map
+    rows = ds.select_columns([id_col, emb_col]).map_batches(
+        bucketize, batch_format="pyarrow", batch_size=4096)
+    cand = partition_map(rows, ["bucket"], bucket_pairs, num_partitions)
+    return partition_map(cand, ["a", "b"], uniq, num_partitions)
+
+
 def ann_ivf(ds, emb_col: str, id_col: str, query_ids: list[int],
             k: int = 5, n_cells: int = 16, n_probe_cells: int = 4,
             sample_size: int = 2048, kmeans_iters: int = 10,

@@ -247,3 +247,31 @@ def test_stack_fixed_size_list_slice_and_nulls():
     out = _stack(with_null)
     np.testing.assert_array_equal(out[0], [1.0, 2.0])
     np.testing.assert_array_equal(out[2], [5.0, 6.0])
+
+
+def test_embedding_near_dup_lsh_recall_and_exact_cosines():
+    """Scale tier: LSH-bucketed near-dup finds a subset of the exact
+    tier's pairs with exact cosines, and recall on the planted
+    high-similarity pairs is total."""
+    from nuclei_feature_extraction_ray.stages.ann import (
+        embedding_near_dup, embedding_near_dup_lsh)
+    rng = np.random.default_rng(21)
+    n, d = 200, 24
+    mat = rng.standard_normal((n, d))
+    planted = [(10, 150), (30, 170), (50, 190)]
+    for a, b in planted:
+        mat[b] = mat[a] + 0.02 * rng.standard_normal(d)
+    tbl = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.array(list(mat),
+                                          pa.list_(pa.float64()))})
+    ds = rd.from_arrow(tbl)
+    exact = embedding_near_dup(ds, "embedding", "vec_id",
+                               threshold=0.8, block_size=64)
+    approx = embedding_near_dup_lsh(ds, "embedding", "vec_id",
+                                    threshold=0.8).to_pandas()
+    e = set(map(tuple, exact[["a", "b"]].to_numpy()))
+    a = set(map(tuple, approx[["a", "b"]].to_numpy()))
+    assert a <= e                       # never a false pair
+    assert set(planted) <= a            # near-identical pairs found
+    m = exact.merge(approx, on=["a", "b"])
+    np.testing.assert_array_equal(m["cosine_x"], m["cosine_y"])
