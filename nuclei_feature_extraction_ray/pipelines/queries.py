@@ -332,6 +332,64 @@ def doc_fingerprint(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+@register("vocab_topk", sql="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(
+               trim(text, E' \\t\\n\\r\\f'), '[ \\t\\n\\r\\f]+')) AS token
+      FROM documents
+      WHERE trim(text, E' \\t\\n\\r\\f') <> ''
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT 100""")
+def vocab_topk(sf_dir: str):
+    """Vocabulary building — the corpus-wide term-frequency top-k a
+    training-data pipeline needs for tokenizer/vocab construction.
+    Plan: per-batch token explode with LOCAL pre-aggregation
+    (np.unique counts: the exchange carries (token, count) partials,
+    never raw tokens), one hash exchange on token, vectorized
+    per-partition sum + partial top-k, tiny driver merge. Tokenization
+    matches text_stats (split on the explicit ws class after strip) so
+    the SQL oracle is exact."""
+    import re as _re
+
+    from ..stages.partition import partition_map
+    from ..functions.text_stats import WS_CLASS
+    ws_re = _re.compile(WS_CLASS + "+")
+    K = 100
+    ds = rd.read_parquet(_path(sf_dir, "documents"), columns=["text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in batch["text"]:
+            if not isinstance(t, str):
+                continue
+            t = t.strip(" \t\n\r\f")
+            if t:
+                toks.extend(ws_re.split(t))
+        if not toks:
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        uniq, counts = np.unique(np.asarray(toks, object),
+                                 return_counts=True)
+        return pd.DataFrame({"token": uniq,
+                             "n": counts.astype(np.int64)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        # partial top-k: only K rows per partition reach the driver
+        out = out.sort_values(["n", "token"], ascending=[False, True],
+                              kind="mergesort")
+        return out.head(K)
+
+    parts = partition_map(ds.map_batches(explode, batch_format="pandas"),
+                          ["token"], combine, 16).to_pandas()
+    top = parts.sort_values(["n", "token"], ascending=[False, True],
+                            kind="mergesort").head(K)
+    return top.reset_index(drop=True)
+
+
 @register("doc_fingerprint_md5", sql="""
     WITH g AS (
       SELECT doc_id, length(coalesce(text, '')) AS n,

@@ -84,6 +84,9 @@ def _query_matrix(ds, emb_col: str, id_col: str,
     def keep(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch[id_col], value_set=qset))
 
+    # take_all is safe here by construction: the Arrow filter ran
+    # distributed and only the <= len(query_ids) matching rows survive
+    # it — do NOT copy this pattern for unbounded results.
     rows = ds.select_columns([id_col, emb_col]) \
              .map_batches(keep, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: int(r[id_col]))
