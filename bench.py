@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     "ann_cosine", "ann_lsh", "ann_ivf", "embedding_near_dup",
     "embedding_near_dup_lsh",
     "multimodal_decode", "custkey_distinct", "custkey_distinct_approx",
-    "vocab_topk",
+    "vocab_topk", "corpus_clean",
 ]
 
 

@@ -332,6 +332,56 @@ def doc_fingerprint(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def _corpus_clean_sql() -> str:
+    from ..functions.langid import langid_sql
+    return """
+    WITH winners AS (
+      SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies,
+             text
+      FROM documents GROUP BY text
+    ), lid AS ({lid}),
+    q AS (SELECT doc_id, round({quality}, 6) AS quality FROM winners)
+    SELECT w.doc_id, w.n_copies, l.pred_lang, l.lang_confidence,
+           q.quality
+    FROM winners w
+    JOIN lid l ON w.doc_id = l.doc_id
+    JOIN q ON w.doc_id = q.doc_id
+    WHERE q.quality >= 0.3 AND l.pred_lang <> 'und'""".format(
+        lid=langid_sql("winners"), quality=quality_sql("text")["quality"])
+
+
+@register("corpus_clean", sql=_corpus_clean_sql())
+def corpus_clean(sf_dir: str):
+    """The canonical training-data cleaning chain as ONE composed
+    pipeline: exact dedup (keep min-id winner) -> per-row quality
+    scoring + language ID -> filter (quality >= 0.3, identifiable
+    language). Demonstrates operator composition on a streaming plan:
+    one 16-byte-key hash exchange (the dedup), then stateless scoring
+    map_batches — the filters never see a second shuffle. Fully
+    SQL-oracled."""
+    from ..functions.texture import r6
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    winners = dedup_mod.exact_dedup(ds, "text", "doc_id",
+                                    keep_content=True)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        q = quality_frame(batch["text"])
+        l = langid_frame(batch["text"])
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "n_copies": batch["n_copies"].to_numpy(np.int64),
+            "pred_lang": l["pred_lang"].to_numpy(),
+            "lang_confidence": r6(
+                l["lang_confidence"].to_numpy(np.float64)),
+            "quality": q["quality"].round(6).to_numpy(),
+        })
+        keep = (out["quality"] >= 0.3) & (out["pred_lang"] != "und")
+        return out[keep]
+
+    return winners.map_batches(score, batch_format="pandas")
+
+
 @register("vocab_topk", sql="""
     WITH toks AS (
       SELECT unnest(string_split_regex(
