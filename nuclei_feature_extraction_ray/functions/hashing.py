@@ -51,6 +51,24 @@ def word_shingles(tokens: list[str], n: int = 3) -> np.ndarray:
     return np.unique(hash64(grams))
 
 
+def md5_shingles(tokens: list[str], n: int = 3) -> np.ndarray:
+    """``word_shingles`` with the PORTABLE md5 gram hash (first 16 hex
+    chars as uint64) — reproducible in DuckDB, so MinHash built on
+    these is SQL-oracle-able. Distinctness applies to the hash values,
+    exactly like the SQL twin's list_distinct."""
+    import hashlib
+    if len(tokens) < n:
+        grams = [" ".join(tokens)] if tokens else []
+    else:
+        grams = [" ".join(tokens[i:i + n])
+                 for i in range(len(tokens) - n + 1)]
+    if not grams:
+        return np.empty(0, np.uint64)
+    return np.unique(np.asarray(
+        [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:16], 16)
+         for g in grams], np.uint64))
+
+
 def minhash_signatures(shingle_sets: list[np.ndarray], k: int = 64,
                        seed: int = 7) -> np.ndarray:
     """MinHash signatures, shape (n_docs, k) uint64.
@@ -109,6 +127,25 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Popcount of XOR for uint64 arrays (vectorized via byte view)."""
     x = (a ^ b).view(np.uint8).reshape(-1, 8)
     return np.unpackbits(x, axis=1).sum(axis=1)
+
+
+import re as _re
+
+_WS_RUN = _re.compile(r"[ \t\n\r\f]+")
+
+
+def md5_token_hashes(text: str) -> np.ndarray:
+    """Per-token 64-bit hashes with the PORTABLE md5 hash (first 16
+    hex chars as uint64) over the explicit whitespace-class
+    tokenization (same class as text_stats) — both reproducible in
+    DuckDB, so SimHash built on these is SQL-oracle-able."""
+    import hashlib
+    t = text.strip(" \t\n\r\f")
+    if not t:
+        return np.empty(0, np.uint64)
+    return np.asarray(
+        [int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
+         for w in _WS_RUN.split(t)], np.uint64)
 
 
 def winnow_fingerprint_md5(text: str, k: int = 8,

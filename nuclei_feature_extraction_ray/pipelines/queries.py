@@ -288,11 +288,110 @@ def minhash_pairs(sf_dir: str):
                                        threshold=0.2)
 
 
+def _minhash_md5_sql(k: int = 64, bands: int = 16,
+                     threshold: float = 0.2, seed: int = 7) -> str:
+    """Brute-force SQL twin of the portable MinHash+LSH: signatures
+    rebuilt lane-by-lane with the SAME wrap-then-mod universal hash
+    (numpy uint64 wrap == HUGEINT % 2^64, verified term-for-term),
+    candidates = any band's lanes all equal (the FNV band key equality
+    of the engine, minus its ~2^-64 collision slack), verify =
+    lane-agreement fraction >= threshold. ngram=2 gram shape shared
+    with the jaccard_pairs oracle."""
+    from ..functions.hashing import _MERSENNE, _hash_params
+    a, b = _hash_params(k, seed)
+    M64 = 1 << 64
+    lanes = ", ".join(
+        "list_min(list_transform(sh, h -> CAST(((CAST(%d AS HUGEINT) * h"
+        " + %d) %% %d) %% %d AS UBIGINT))) AS s%d"
+        % (int(a[j]), int(b[j]), M64, _MERSENNE, j) for j in range(k))
+    r = k // bands
+    band_or = " OR ".join(
+        "(" + " AND ".join("x.s%d = y.s%d" % (j, j)
+                           for j in range(bnd * r, (bnd + 1) * r)) + ")"
+        for bnd in range(bands))
+    agree = " + ".join("(CASE WHEN x.s%d = y.s%d THEN 1 ELSE 0 END)"
+                       % (j, j) for j in range(k))
+    return """
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text, E' \\t\\n\\r\\f'),
+                                        '[ \\t\\n\\r\\f]+') AS w
+      FROM documents WHERE trim(text, E' \\t\\n\\r\\f') <> ''
+    ), shing AS (
+      SELECT doc_id, list_distinct(list_transform(
+        CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1]) END,
+        g -> ('0x' || substr(md5(g), 1, 16))::UBIGINT)) AS sh
+      FROM docs
+    ), sigs AS (SELECT doc_id, {lanes} FROM shing)
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST({agree} AS DOUBLE) / {k} AS jaccard_est
+    FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+    WHERE ({band_or})
+      AND CAST({agree} AS DOUBLE) / {k} >= {thr}""".format(
+        lanes=lanes, agree=agree, band_or=band_or, k=k, thr=threshold)
+
+
+@register("minhash_pairs_md5", sql=_minhash_md5_sql())
+def minhash_pairs_md5(sf_dir: str):
+    """MinHash+LSH with the PORTABLE md5 shingle hash — identical
+    banded plan to minhash_pairs (signatures-only shuffles, vectorized
+    lane-agreement verify) but every hash is reproducible in DuckDB,
+    so the whole probabilistic op is driver-oracled EXACTLY (the
+    doc_fingerprint_md5 pattern)."""
+    from ..functions.hashing import md5_shingles
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    return dedup_mod.minhash_lsh_pairs(
+        ds, "text", "doc_id", ngram=JACCARD_NGRAM, threshold=0.2,
+        shingle_fn=lambda toks: md5_shingles(toks, JACCARD_NGRAM))
+
+
 @register("simhash_pairs")  # not SQL-expressible -> rows-only check
 def simhash_pairs(sf_dir: str):
     ds = rd.read_parquet(_path(sf_dir, "documents"),
                          columns=["doc_id", "text"])
     return dedup_mod.simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+
+
+def _simhash_md5_sql() -> str:
+    """Brute-force SQL twin of the portable SimHash: per-doc signature
+    rebuilt bit-by-bit (64 majority votes over the md5 token hashes —
+    powers of two emitted as literals: DuckDB's 1<<63 overflows), then
+    an all-pairs hamming join. The engine's pigeonhole banding is
+    EXACT for hamming <= 3, so the sets match."""
+    tt = "trim(text, E' \\t\\n\\r\\f')"
+    bit_terms = " + ".join(
+        "CASE WHEN coalesce(list_sum(list_transform(th, h -> CASE WHEN "
+        "(h >> %d) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 THEN "
+        "CAST(%d AS UBIGINT) ELSE CAST(0 AS UBIGINT) END" % (b, 1 << b)
+        for b in range(64))
+    return """
+    WITH docs AS (
+      SELECT doc_id,
+             list_transform(string_split_regex({tt}, '[ \\t\\n\\r\\f]+'),
+               t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS th
+      FROM documents WHERE {tt} <> ''
+    ), sh AS (SELECT doc_id, {sim} AS s FROM docs)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3""".format(tt=tt, sim=bit_terms)
+
+
+@register("simhash_pairs_md5", sql=_simhash_md5_sql())
+def simhash_pairs_md5(sf_dir: str):
+    """SimHash near-dup with the PORTABLE md5 token hash — same
+    pigeonhole-banded plan as simhash_pairs, but every step is
+    reproducible in DuckDB, so the op is driver-oracled (the
+    doc_fingerprint_md5 pattern). Empty/whitespace-only docs are
+    dropped on both sides (they all share signature 0)."""
+    from ..functions.hashing import md5_token_hashes
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    return dedup_mod.simhash_pairs(ds, "text", "doc_id", max_hamming=3,
+                                   token_hash_fn=md5_token_hashes,
+                                   drop_empty=True)
 
 
 @register("doc_langid", sql=langid_sql())

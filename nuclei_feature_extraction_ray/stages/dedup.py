@@ -243,7 +243,8 @@ def _attach_sig(pairs_ds, sigs_ds, key_col: str, new_col: str,
 
 def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
                       num_hashes: int = 64, bands: int = 16,
-                      threshold: float = 0.2, num_partitions: int = 16):
+                      threshold: float = 0.2, num_partitions: int = 16,
+                      shingle_fn=None):
     """Candidate pairs from LSH banding, verified by SIGNATURE
     AGREEMENT: jaccard_est = fraction of the k MinHash lanes equal —
     an unbiased estimator of Jaccard (stderr ~ sqrt(s(1-s)/k)).
@@ -256,10 +257,12 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
     deduplicated, then the two 512-byte signatures are attached by two
     keyed exchanges and compared with one vectorized lane-equality
     pass — no per-pair Python loop anywhere."""
+    shingles_of = shingle_fn or (lambda toks: word_shingles(toks, ngram))
+
     def sig(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pandas()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        shingles = [word_shingles(t, ngram) for t in _tokenize(texts)]
+        shingles = [shingles_of(t) for t in _tokenize(texts)]
         # Zero-shingle (empty / whitespace-only) docs are dropped HERE:
         # their all-max sentinel signatures would otherwise share LSH
         # buckets and agree on every lane, pairing all empty docs at
@@ -394,17 +397,30 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
 # ---------------------------------------------------------------------------
 
 def simhash_pairs(ds, text_col: str, id_col: str,
-                  max_hamming: int = 3, num_partitions: int = 16):
+                  max_hamming: int = 3, num_partitions: int = 16,
+                  token_hash_fn=None, drop_empty: bool = False):
     """Pairs with SimHash hamming distance <= max_hamming. With 4
     16-bit bands, any pair within distance 3 shares at least one exact
-    band (pigeonhole) — candidate generation loses nothing."""
+    band (pigeonhole) — candidate generation loses nothing.
+
+    ``token_hash_fn`` (text -> uint64 token-hash array, tokenization
+    included) defaults to SipHash over ``str.split()``; pass
+    ``hashing.md5_token_hashes`` + ``drop_empty=True`` for the
+    PORTABLE variant whose SimHash is reproducible in DuckDB SQL (the
+    driver-oracled tier — empty docs are dropped there because they
+    all share signature 0)."""
     BANDS = 4
+    hfn = token_hash_fn or (lambda t: hash64(t.split()))
 
     def sig(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pandas()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        th = [hash64(t.split()) if isinstance(t, str) and t else
+        th = [hfn(t) if isinstance(t, str) and t else
               np.empty(0, np.uint64) for t in texts]
+        if drop_empty:
+            keep = np.asarray([len(x) > 0 for x in th], bool)
+            th = [x for x in th if len(x)]
+            ids = ids[keep]
         sh = simhash64(th)
         n = len(ids)
         band_vals = np.stack([(sh >> np.uint64(16 * b))
