@@ -1182,20 +1182,29 @@ _PAGES_GAP_SEC = 30 * 86400
 def pages_sessions_sql(scale: str) -> str:
     """DuckDB oracle for ``pages_sessions`` — identical shape to the
     events ``sessionize``/``session_stats`` oracles, over the corpus
-    parquet. Duplicate (url, warc_ts) rows are harmless here: ties gap
-    0 <= threshold, so per-row session ids are tie-order-invariant."""
+    parquet. Duplicate (url, warc_ts) rows make ts alone a non-total
+    order, and DuckDB's lag and cumulative-sum windows may order ties
+    DIFFERENTLY (observed: a tie pair split across sessions once in
+    many runs), so a row_number is pinned first and every window
+    orders by (warc_ts, rn) — one consistent total order, which is all
+    sessionize needs (tie gaps are 0 under any consistent order)."""
     return """
-    WITH g AS (
+    WITH l0 AS (
       SELECT url, warc_ts,
-             epoch(warc_ts - lag(warc_ts) OVER w) AS gap_sec
+             row_number() OVER (PARTITION BY url ORDER BY warc_ts)
+               AS rn
       FROM read_parquet('{glob}')
-      WINDOW w AS (PARTITION BY url ORDER BY warc_ts)
+    ), g AS (
+      SELECT url, warc_ts, rn,
+             epoch(warc_ts - lag(warc_ts) OVER w) AS gap_sec
+      FROM l0
+      WINDOW w AS (PARTITION BY url ORDER BY warc_ts, rn)
     ), s AS (
       SELECT url, warc_ts,
              sum(CASE WHEN gap_sec IS NULL
                       OR gap_sec > CAST({gap} AS DOUBLE)
                  THEN 1 ELSE 0 END)
-               OVER (PARTITION BY url ORDER BY warc_ts
+               OVER (PARTITION BY url ORDER BY warc_ts, rn
                      ROWS UNBOUNDED PRECEDING) - 1 AS session_id
       FROM g)
     SELECT url, CAST(session_id AS BIGINT) AS session_id,
