@@ -1235,11 +1235,7 @@ def pages_features_core_sql(scale: str) -> str:
                       in text_stats_sql("text").items())
     return """
     WITH pages AS (
-      SELECT url, warc_ts, text, lang
-      FROM read_parquet('{glob}')
-      WHERE text IS NOT NULL
-        AND url NOT IN (SELECT url FROM read_parquet('{glob}')
-                        GROUP BY url, warc_ts HAVING count(*) > 1)
+      {pages}
     ), stats AS (
       SELECT url, warc_ts, lang, {stats} FROM pages
     ), l1 AS (
@@ -1286,8 +1282,81 @@ def pages_features_core_sql(scale: str) -> str:
                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
              AS session_id,
            lang_changed, lang_stab_5
-    FROM l1""".format(glob=_pages_glob(scale), stats=stats,
+    FROM l1""".format(pages=_pages_clean_select(scale), stats=stats,
                       gap=_PAGES_GAP_SEC)
+
+
+def _pages_clean_select(scale: str) -> str:
+    """The filtered-corpus SELECT shared by the flagship oracles:
+    parseable pages only, whole urls with duplicate (url, warc_ts)
+    keys excluded (see pages_features_core_sql)."""
+    return """SELECT url, warc_ts, text, lang
+      FROM read_parquet('{glob}')
+      WHERE text IS NOT NULL
+        AND url NOT IN (SELECT url FROM read_parquet('{glob}')
+                        GROUP BY url, warc_ts HAVING count(*) > 1)
+    """.format(glob=_pages_glob(scale))
+
+
+def pages_features_full_sql(scale: str) -> str:
+    """DuckDB oracle for the FULL flagship payload (all families, 88
+    columns): the core windowed CTE joined with the three texture-
+    analog family oracles (functions/texture.cooc_sql / runlen_sql /
+    spectrum_sql, each already bit-exact over documents) keyed through
+    a row_number mapping — (url, warc_ts) is unique post-filter."""
+    from ..functions.texture import (COOC_COLUMNS, RUNLEN_COLUMNS,
+                                     SPECTRUM_COLUMNS, cooc_sql,
+                                     runlen_sql, spectrum_sql)
+    from ..config import feature_schema
+    tex_cols = ", ".join(
+        ["c.%s" % c for c in COOC_COLUMNS]
+        + ["r.%s" % c for c in RUNLEN_COLUMNS]
+        + ["s.%s" % c for c in SPECTRUM_COLUMNS])
+    core_cols = ", ".join(
+        "core.%s" % c for c in feature_schema(["text", "windowed"]))
+    return """
+    WITH core AS ({core}),
+    docsv AS (
+      SELECT row_number() OVER (ORDER BY url, warc_ts) AS doc_id,
+             url, warc_ts, text
+      FROM ({pages})
+    ),
+    cooc_t AS ({cooc}),
+    runl_t AS ({runl}),
+    spec_t AS ({spec})
+    SELECT {core_cols}, {tex_cols}
+    FROM core
+    JOIN docsv d ON core.url = d.url AND core.warc_ts = d.warc_ts
+    JOIN cooc_t c ON c.doc_id = d.doc_id
+    JOIN runl_t r ON r.doc_id = d.doc_id
+    JOIN spec_t s ON s.doc_id = d.doc_id""".format(
+        core=pages_features_core_sql(scale),
+        pages=_pages_clean_select(scale),
+        cooc=cooc_sql("docsv"), runl=runlen_sql("docsv"),
+        spec=spectrum_sql("docsv"),
+        core_cols=core_cols, tex_cols=tex_cols)
+
+
+@register("pages_features_full")   # SQL attached in all_oracle_sql
+def pages_features_full(sf_dir: str):
+    """The COMPLETE flagship payload — all families (structure,
+    charclass, temporal, session, lang + the cooc/runlen/spectrum
+    texture analogs; 88 columns) through the real pipeline — with a
+    full DuckDB oracle (pages_features_full_sql). Duplicate-key urls
+    excluded on both sides as in pages_features_core."""
+    from ..corpus import corpus_dir
+    from .pages_features import compute_features
+    d = corpus_dir(_corpus_scale(sf_dir))
+    pages = rd.read_parquet(os.path.join(d, "pages"),
+                            columns=["url", "warc_ts", "html", "lang"])
+    dup_set = pa.array(sorted(_duplicated_ts_urls(pages)), pa.string())
+
+    def drop_dup(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(
+            pc.is_in(batch["url"], value_set=dup_set)))
+
+    return compute_features(pages, num_partitions=16).map_batches(
+        drop_dup, batch_format="pyarrow")
 
 
 #: core (text+windowed) value columns served by the probe join
@@ -1454,5 +1523,6 @@ def all_oracle_sql() -> dict[str, str]:
     out = dict(ORACLE)
     out["pages_sessions"] = pages_sessions_sql("t2")
     out["pages_features_core"] = pages_features_core_sql("t2")
+    out["pages_features_full"] = pages_features_full_sql("t2")
     out["pages_probes_core"] = pages_probes_core_sql("t2")
     return out
