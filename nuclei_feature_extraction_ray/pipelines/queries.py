@@ -989,6 +989,31 @@ def doc_bpe_tokens(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def _repetition_sql() -> str:
+    from ..functions.repetition import repetition_sql
+    return repetition_sql("documents")
+
+
+@register("doc_repetition", sql=_repetition_sql())
+def doc_repetition(sf_dir: str):
+    """Gopher-style n-gram repetition features (Rae et al. 2021
+    §A1.1): most-frequent-token fraction, top word-2-gram character
+    coverage, duplicated word-3-gram character coverage — the
+    repetition filters a webtext training pipeline removes spam with.
+    Per-batch: one explode to a (doc, token) frame, all counting is
+    vectorized pandas groupbys (functions/repetition.py)."""
+    from ..functions.repetition import repetition_frame
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = repetition_frame(batch["text"])
+        out.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 @register("doc_sample", sql="""
     SELECT doc_id, lang, n_chars FROM documents
     WHERE doc_id % 7 = 3""")

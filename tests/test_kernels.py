@@ -193,3 +193,45 @@ def test_salted_time_windows_equal_unsalted():
         got = salted_time_windows(ts, v, span, nb)
         for k in ("min", "max", "mean", "count", "sum"):
             np.testing.assert_allclose(got[k], want[k], err_msg=k)
+
+
+def test_repetition_hand_computed():
+    from nuclei_feature_extraction_ray.functions.repetition import (
+        repetition_frame)
+    f = repetition_frame(pd.Series([
+        "a b a b a b",         # top 2-gram "a b" x3 (len 3)
+        "x",                   # single token, no grams
+        "",                    # empty text
+        "w w w w",             # one token repeated
+        None,
+    ]))
+    assert f["n_tokens"].tolist() == [6, 1, 1, 4, 1]
+    assert f["max_tok_frac"][0] == pytest.approx(3 / 6)
+    # "a b" occurs 3x, "b a" 2x -> top chars = 3*3 = 9 over 11 chars
+    assert f["top2_char_frac"][0] == pytest.approx(9 / 11)
+    # 3-grams "a b a" x2 (len 5), "b a b" x2 -> (2*5 + 2*5) / 11
+    assert f["dup3_char_frac"][0] == pytest.approx(20 / 11)
+    assert f["top2_char_frac"][1] == 0.0
+    assert f["top2_char_frac"][2] == 0.0
+    assert f["dup3_char_frac"][2] == 0.0
+    assert f["max_tok_frac"][3] == 1.0
+    # "w w" x3 of len 3 over 7 chars
+    assert f["top2_char_frac"][3] == pytest.approx(9 / 7)
+
+
+def test_repetition_matches_duckdb_on_edge_cases():
+    import duckdb
+    from nuclei_feature_extraction_ray.functions.repetition import (
+        repetition_frame, repetition_sql)
+    texts = ["a b a b a b", "x", "", "w w w w", "a  b", "one two three",
+             "t t t s s", "spam " * 50, ("p q r " * 9).strip()]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(repetition_sql("documents")).df() \
+              .sort_values("doc_id").reset_index(drop=True)
+    got = repetition_frame(df["text"])
+    got.insert(0, "doc_id", df["doc_id"].to_numpy())
+    pd.testing.assert_frame_equal(got[want.columns], want,
+                                  check_dtype=True)
