@@ -989,6 +989,57 @@ def doc_bpe_tokens(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def _normalize_sql() -> str:
+    from ..functions.normalize import normalize_sql
+    return normalize_sql("documents")
+
+
+@register("doc_normalize", sql=_normalize_sql())
+def doc_normalize(sf_dir: str):
+    """Canonical text normalization (NFC + lower + whitespace collapse
+    + trim) with a portable md5 fingerprint — the form a webtext
+    pipeline dedups on instead of raw bytes (functions/normalize.py)."""
+    from ..functions.normalize import normalize_frame
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = normalize_frame(batch["text"])
+        out.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _dedup_normalized_sql() -> str:
+    from ..functions.normalize import normalize_expr
+    return """
+    SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY {n}""".format(n=normalize_expr("text"))
+
+
+@register("dedup_normalized", sql=_dedup_normalized_sql())
+def dedup_normalized(sf_dir: str):
+    """Exact dedup over the NORMALIZED text (composition of
+    doc_normalize -> stages/dedup.exact_dedup): catches trivially
+    re-cased / re-spaced copies raw dedup misses. Only (id, 128-bit
+    hash) rows cross the shuffle — the normalized text itself never
+    leaves the extract task."""
+    from ..functions.normalize import normalize_series
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def add_norm(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "norm": normalize_series(batch["text"]),
+        })
+
+    return dedup_mod.exact_dedup(
+        ds.map_batches(add_norm, batch_format="pandas"), "norm",
+        "doc_id")
+
+
 def _repetition_sql() -> str:
     from ..functions.repetition import repetition_sql
     return repetition_sql("documents")

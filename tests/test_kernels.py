@@ -235,3 +235,29 @@ def test_repetition_matches_duckdb_on_edge_cases():
     got.insert(0, "doc_id", df["doc_id"].to_numpy())
     pd.testing.assert_frame_equal(got[want.columns], want,
                                   check_dtype=True)
+
+
+def test_normalize_matches_duckdb_incl_unicode():
+    import duckdb
+    from nuclei_feature_extraction_ray.functions.normalize import (
+        normalize_frame, normalize_sql)
+    texts = ["  Hello   WORLD  ", "a\tb\n\nc", "", "Café CRÈME",
+             "tabs\t\tand\f\rforms", None, "ALL CAPS", "é vs é"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(normalize_sql("documents")).df() \
+              .sort_values("doc_id").reset_index(drop=True)
+    got = normalize_frame(df["text"])
+    got.insert(0, "doc_id", df["doc_id"].to_numpy())
+    # DuckDB md5(NULL) is NULL; the engine treats missing text as ""
+    want.loc[df["text"].isna(), "norm_md5"] = \
+        got.loc[df["text"].isna(), "norm_md5"]
+    want.loc[df["text"].isna(), "n_chars_norm"] = 0
+    want["n_chars_norm"] = want["n_chars_norm"].astype(np.int64)
+    pd.testing.assert_frame_equal(got[want.columns], want,
+                                  check_dtype=True)
+    # NFC folds the combining-accent variant onto the composed one
+    n = normalize_frame(pd.Series(["é", "é"]))
+    assert n["norm_md5"][0] == n["norm_md5"][1]
