@@ -43,6 +43,7 @@ from ..stages import dedup as dedup_mod
 from ..stages.asof import asof_join
 from ..stages.multimodal import DecodeMedia, make_payload
 from ..stages.partition import partitioned_apply
+from ..stages.rangejoin import range_join
 from ..stages.window import (add_backfill, add_lag_lead, add_rolling_rows,
                              add_session_ids, session_aggregate)
 from ..util import configure_context
@@ -702,6 +703,51 @@ def asof_quote(sf_dir: str):
     return asof_join(probes, snaps, key="user_id", probe_ts="ts",
                      snap_ts="view_ts", value_cols=["view_value"],
                      num_partitions=EVENTS_P)
+
+
+@register("range_join_funnel", sql="""
+    SELECT a.event_id AS view_id, a.user_id, a.ts AS view_ts,
+           b.event_id AS purchase_id, b.ts AS purchase_ts,
+           b.value AS purchase_value,
+           epoch(b.ts - a.ts) AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'view') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 DAY""")
+def range_join_funnel(sf_dir: str):
+    """Interval join (stages/rangejoin.py): every purchase within one
+    day AFTER each view by the same user — one row per (view,
+    purchase) pair, the funnel/attribution shape.  One co-partitioning
+    exchange; pair enumeration vectorized per partition."""
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type",
+                          "value"])
+    views = ev.filter(expr="event_type == 'view'") \
+              .select_columns(["event_id", "user_id", "ts"])
+
+    def rn_l(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["view_id", "user_id", "view_ts"])
+
+    def rn_r(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["purchase_id", "user_id", "purchase_ts", "purchase_value"])
+
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+                  .select_columns(["event_id", "user_id", "ts", "value"]) \
+                  .map_batches(rn_r, batch_format="pyarrow")
+    joined = range_join(views.map_batches(rn_l, batch_format="pyarrow"),
+                        purchases, key="user_id",
+                        left_ts="view_ts", right_ts="purchase_ts",
+                        lo=pd.Timedelta(0), hi=pd.Timedelta(days=1),
+                        num_partitions=EVENTS_P)
+
+    def add_gap(batch: pa.Table) -> pa.Table:
+        from ..stages.window import us_seconds
+        us = pc.cast(pc.subtract(batch["purchase_ts"],
+                                 batch["view_ts"]),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return batch.append_column("gap_sec", pa.array(us_seconds(us)))
+
+    return joined.map_batches(add_gap, batch_format="pyarrow")
 
 
 @register("backfill", sql="""

@@ -261,3 +261,44 @@ def test_normalize_matches_duckdb_incl_unicode():
     # NFC folds the combining-accent variant onto the composed one
     n = normalize_frame(pd.Series(["é", "é"]))
     assert n["norm_md5"][0] == n["norm_md5"][1]
+
+
+def test_interval_pairs_boundaries_and_keys():
+    """Half-open [t+lo, t+hi) window, multi-key, vs brute force."""
+    from nuclei_feature_extraction_ray.stages.rangejoin import \
+        interval_pairs
+
+    rng = np.random.default_rng(7)
+    rk = rng.integers(0, 6, 200).astype(np.int64)
+    rt = rng.integers(0, 1000, 200).astype(np.int64)
+    order = np.lexsort((rt, rk))
+    rk, rt = rk[order], rt[order]
+    lk = rng.integers(0, 8, 60).astype(np.int64)   # some keys absent
+    lt = rng.integers(0, 1000, 60).astype(np.int64)
+    lo, hi = 10, 120
+    li, ri = interval_pairs(rk, rt, lk, lt, lo, hi)
+    got = set(zip(li.tolist(), ri.tolist()))
+    want = {(i, j) for i in range(len(lk)) for j in range(len(rk))
+            if rk[j] == lk[i] and lt[i] + lo <= rt[j] < lt[i] + hi}
+    assert got == want
+
+
+def test_interval_pairs_exact_tie_inclusive_exclusive():
+    from nuclei_feature_extraction_ray.stages.rangejoin import \
+        interval_pairs
+
+    rk = np.array([1, 1, 1], np.int64)
+    rt = np.array([10, 20, 30], np.int64)
+    # window [10, 30): includes ts==10 (lo inclusive), excludes 30.
+    li, ri = interval_pairs(rk, rt, np.array([1], np.int64),
+                            np.array([10], np.int64), 0, 20)
+    assert sorted(ri.tolist()) == [0, 1]
+    # empty right / empty left
+    li, ri = interval_pairs(np.array([], np.int64),
+                            np.array([], np.int64),
+                            np.array([1], np.int64),
+                            np.array([5], np.int64), 0, 10)
+    assert len(li) == 0
+    li, ri = interval_pairs(rk, rt, np.array([], np.int64),
+                            np.array([], np.int64), 0, 10)
+    assert len(li) == 0
