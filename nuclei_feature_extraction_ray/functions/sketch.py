@@ -124,3 +124,41 @@ def distinct_count(ds, col: str, num_partitions: int = 16) -> int:
     parts = partition_map(uniq, [col], count_part,
                           num_partitions).to_pandas()
     return int(parts["n"].sum())
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch — the bounded-memory scale path for grouped
+# quantiles. Exact quantiles need every value of a group in one task
+# (fine for bounded values-per-group, see queries.lang_quantiles);
+# this sketch keeps a FIXED nbins-long count vector per group instead:
+# per-batch partial histograms merge by addition (associative,
+# retry-idempotent), and the quantile interpolates inside the winning
+# bin. Error is bounded by one bin width of the value range.
+# ---------------------------------------------------------------------------
+
+def hist_partial(values: np.ndarray, lo: float, hi: float,
+                 nbins: int) -> np.ndarray:
+    """int64[nbins] counts of ``values`` over [lo, hi] equal-width
+    bins; out-of-range values clip into the edge bins."""
+    idx = np.floor((np.asarray(values, np.float64) - lo)
+                   * (nbins / (hi - lo))).astype(np.int64)
+    np.clip(idx, 0, nbins - 1, out=idx)
+    return np.bincount(idx, minlength=nbins).astype(np.int64)
+
+
+def hist_quantile(counts: np.ndarray, lo: float, hi: float,
+                  q: float) -> float:
+    """Continuous quantile estimate from a histogram: find the bin
+    holding rank q*(n-1), interpolate linearly within it."""
+    n = int(counts.sum())
+    if n == 0:
+        return float("nan")
+    rank = q * (n - 1)
+    cum = np.cumsum(counts)
+    b = int(np.searchsorted(cum, rank, side="right"))
+    b = min(b, len(counts) - 1)
+    prev = cum[b - 1] if b > 0 else 0
+    in_bin = counts[b]
+    frac = (rank - prev) / in_bin if in_bin > 0 else 0.5
+    w = (hi - lo) / len(counts)
+    return float(lo + (b + frac) * w)

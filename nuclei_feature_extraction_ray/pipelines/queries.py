@@ -1130,6 +1130,72 @@ def doc_sample(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+@register("lang_quantiles", sql="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           round(quantile_cont(n_chars, 0.90), 6) AS p90
+    FROM documents GROUP BY lang""")
+def lang_quantiles(sf_dir: str):
+    """Grouped EXACT quantiles (linear interpolation, the
+    quantile_cont definition). Shuffle carries only (lang, n_chars) —
+    two narrow columns — and each group's values land in one task, so
+    this tier is for bounded values-per-group; the sketch tier below
+    (lang_quantiles_approx) is the fixed-memory scale path."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["lang", "n_chars"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby("lang", sort=False)["n_chars"]
+        out = gb.agg(n_docs="size", min_chars="min",
+                     max_chars="max").reset_index()
+        for name, q in (("p25", .25), ("p50", .5), ("p90", .9)):
+            out = out.merge(gb.quantile(q).rename(name).reset_index(),
+                            on="lang")
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return _r6(out, ["p25", "p50", "p90"])
+
+    return partitioned_apply(ds, "lang", fn, 8)
+
+
+@register("lang_quantiles_approx")   # sketch -> accuracy-tested, no SQL
+def lang_quantiles_approx(sf_dir: str):
+    """Histogram-sketch quantiles (functions/sketch.hist_partial):
+    per-batch fixed nbins count vectors per lang, combined by addition
+    through the bounded driver combine — memory O(langs x nbins)
+    regardless of row count. Error <= one bin width."""
+    from ..functions.sketch import hist_partial, hist_quantile
+    NBINS, LO, HI = 256, 0.0, 4096.0
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["lang", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in batch.groupby("lang", sort=False):
+            h = hist_partial(g["n_chars"].to_numpy(), LO, HI, NBINS)
+            nz = np.flatnonzero(h)
+            rows.append(pd.DataFrame(
+                {"lang": lang, "bin": nz, "n": h[nz]}))
+        return pd.concat(rows) if rows else pd.DataFrame(
+            {"lang": pd.Series(dtype=object),
+             "bin": pd.Series(dtype=np.int64),
+             "n": pd.Series(dtype=np.int64)})
+
+    combined = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["lang", "bin"], ["n"])
+    out = []
+    for lang, g in combined.groupby("lang", sort=False):
+        h = np.zeros(NBINS, np.int64)
+        h[g["bin"].to_numpy()] = g["n"].to_numpy()
+        out.append({"lang": lang, "n_docs": np.int64(h.sum()),
+                    "p50": hist_quantile(h, LO, HI, 0.5),
+                    "p90": hist_quantile(h, LO, HI, 0.9)})
+    return pd.DataFrame(out).sort_values("lang").reset_index(drop=True)
+
+
 @register("custkey_distinct", sql="""
     SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys
     FROM orders""")

@@ -150,3 +150,23 @@ def test_real_codec_with_pil():
                      "payload": pa.array([gbuf.getvalue()], pa.binary())})
     fs = FrameSample(stride=2, real_codec=True)(gtbl).to_pandas()
     assert fs["frame_idx"].tolist() == [0, 2]
+
+
+def test_hist_quantile_accuracy_and_edges():
+    from nuclei_feature_extraction_ray.functions.sketch import (
+        hist_partial, hist_quantile)
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 4000, 50_000)
+    lo, hi, nbins = 0.0, 4096.0, 256
+    # partials from 5 chunks merge by addition
+    h = sum(hist_partial(c, lo, hi, nbins)
+            for c in np.array_split(vals, 5))
+    binw = (hi - lo) / nbins
+    for q in (0.1, 0.5, 0.9, 0.99):
+        exact = np.quantile(vals, q)
+        assert abs(hist_quantile(h, lo, hi, q) - exact) <= binw
+    # out-of-range values clip, empty histogram -> nan
+    h2 = hist_partial(np.array([-5.0, 1e9]), lo, hi, nbins)
+    assert h2[0] == 1 and h2[-1] == 1
+    assert np.isnan(hist_quantile(np.zeros(nbins, np.int64), lo, hi, .5))
