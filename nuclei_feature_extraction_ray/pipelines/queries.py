@@ -796,6 +796,31 @@ def time_slice(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+@register("props_extract", sql="""
+    SELECT event_id, event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events""")
+def props_extract(sf_dir: str):
+    """Semi-structured sidecar parsing: pull the numeric field ``k``
+    out of the JSON ``props`` column with ONE vectorized RE2 pass
+    (``pc.extract_regex``) per batch — no per-row json.loads loop.
+    Missing field -> null, matching json_extract. A pipeline needing
+    arbitrary nested JSON would swap in ``pa.json`` block parsing in
+    the same map_batches slot; for flat telemetry fields the regex
+    path is the vectorized fast lane."""
+    ds = _events(sf_dir, ["event_id", "event_type", "props"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"],
+                             r'"k"\s*:\s*(?P<v>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "k": k})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 @register("hourly_rate", sql="""
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            round(sum(value) / count(*), 6) AS avg_value,

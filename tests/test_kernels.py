@@ -302,3 +302,21 @@ def test_interval_pairs_exact_tie_inclusive_exclusive():
     li, ri = interval_pairs(rk, rt, np.array([], np.int64),
                             np.array([], np.int64), 0, 10)
     assert len(li) == 0
+
+
+def test_props_extract_regex_matches_json_extract():
+    """The vectorized regex path must agree with DuckDB json_extract
+    on present, missing, negative, and spaced fields."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    props = ['{"k": 69}', '{"j": 1}', '{"k":-3}', '{ "k" : 12 , "j":0}',
+             '{}', None]
+    m = pc.extract_regex(pa.array(props), r'"k"\s*:\s*(?P<v>-?\d+)')
+    got = pc.cast(pc.struct_field(m, "v"), pa.int64()).to_pylist()
+    con = duckdb.connect()
+    want = [r[0] for r in con.execute(
+        "SELECT CAST(json_extract(p, '$.k') AS BIGINT) "
+        "FROM (SELECT unnest(?) AS p)", [props]).fetchall()]
+    assert got == want
