@@ -1724,6 +1724,65 @@ def pages_sessions(sf_dir: str):
                              sort_cols=["url", "warc_ts"])
 
 
+def pages_domains_sql(scale: str) -> str:
+    """DuckDB oracle for ``pages_domains`` (per-domain crawl rollup)."""
+    return """
+    SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+           min(warc_ts) AS first_ts, max(warc_ts) AS last_ts,
+           epoch(max(warc_ts) - min(warc_ts)) AS span_sec
+    FROM read_parquet('{glob}')
+    GROUP BY host""".format(glob=_pages_glob(scale))
+
+
+@register("pages_domains")   # SQL attached in all_oracle_sql
+def pages_domains(sf_dir: str):
+    """Per-domain crawl rollup — the corpus-level skew census a crawl
+    pipeline runs before choosing salting thresholds (the Zipf-hot
+    domains this corpus plants are exactly what stages/salt detects).
+
+    Scale plan: host extraction is one vectorized RE2 pass; per-batch
+    PRE-aggregation to (host, url) granularity shrinks the exchange
+    (snapshots of one url sit adjacently in crawl order), then ONE
+    hash exchange on host and a per-partition groupby finishes counts,
+    distinct urls, and the time span."""
+    from ..corpus import corpus_dir
+    from ..stages.window import us_seconds
+    d = corpus_dir(_corpus_scale(sf_dir))
+    pages = rd.read_parquet(os.path.join(d, "pages"),
+                            columns=["url", "warc_ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["url"], r"^[a-z]+://(?P<h>[^/]+)")
+        t = pa.table({"host": pc.struct_field(m, "h"),
+                      "url": batch["url"],
+                      "warc_ts": batch["warc_ts"]})
+        g = t.group_by(["host", "url"]).aggregate(
+            [("url", "count"), ("warc_ts", "min"), ("warc_ts", "max")])
+        return g.rename_columns(["host", "url", "n", "ts_min",
+                                 "ts_max"])
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby(["host", "url"], as_index=False).agg(
+            n=("n", "sum"), ts_min=("ts_min", "min"),
+            ts_max=("ts_max", "max"))
+        out = u.groupby("host", as_index=False).agg(
+            n_pages=("n", "sum"), n_urls=("url", "size"),
+            first_ts=("ts_min", "min"), last_ts=("ts_max", "max"))
+        us = (out["last_ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64)
+              - out["first_ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        out["span_sec"] = us_seconds(us)
+        out["n_pages"] = out["n_pages"].astype(np.int64)
+        out["n_urls"] = out["n_urls"].astype(np.int64)
+        return out
+
+    return partitioned_apply(pages.map_batches(
+        partial, batch_format="pyarrow"), "host", finish, 8)
+
+
 def all_queries() -> dict:
     return dict(QUERIES)
 
@@ -1738,4 +1797,5 @@ def all_oracle_sql() -> dict[str, str]:
     out["pages_features_core"] = pages_features_core_sql("t2")
     out["pages_features_full"] = pages_features_full_sql("t2")
     out["pages_probes_core"] = pages_probes_core_sql("t2")
+    out["pages_domains"] = pages_domains_sql("t2")
     return out
