@@ -1783,6 +1783,112 @@ def pages_domains(sf_dir: str):
         partial, batch_format="pyarrow"), "host", finish, 8)
 
 
+@register("q3_shipping", sql="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_cp,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_cp DESC, l_orderkey LIMIT 10""")
+def q3_shipping(sf_dir: str):
+    """TPC-H-Q3-shaped large×large shuffle join (shipping-priority
+    top-10) — the one join class the engine didn't cover: both sides
+    too big to broadcast, equi-key, handled by Ray Data's native hash
+    ``Dataset.join`` (one co-partitioning exchange per side).
+
+    Scale plan: every input is pruned and pre-shrunk BEFORE the
+    exchange — lineitem is filtered at the parquet read and partially
+    aggregated per batch to (l_orderkey, revenue) rows, orders is
+    filtered at the read and semi-filtered by a broadcast sorted
+    custkey array (the small side never shuffles) — so the join moves
+    aggregate-grain rows, not raw lineitems.  Revenue folds as integer
+    cents×percent (exact, order-free; the repo float policy).  The
+    join output is hash-partitioned by key, so the final group-sum is
+    partition-local (batch_size=None -> one batch per block) and top-k
+    is per-block partial + a 10-row driver merge.
+    """
+    cut = datetime(1998, 6, 1)
+
+    seg_keys = np.sort(pq.read_table(
+        _path(sf_dir, "customer"),
+        columns=["c_custkey"],
+        filters=[("c_mktsegment", "=", "BUILDING")])
+        .column("c_custkey").to_numpy())
+    seg_ref = ray.put(seg_keys)
+
+    line = rd.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=pc.field("l_shipdate") > pa.scalar(cut, pa.timestamp("us")))
+
+    def line_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(
+            b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        pctl = 100 - np.round(
+            b["l_discount"].to_numpy() * 100).astype(np.int64)
+        d = pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(),
+                          "cp": cents * pctl})
+        return d.groupby("l_orderkey", as_index=False).agg(
+            cp=("cp", "sum"))
+
+    lrev = line.map_batches(line_partial, batch_format="pandas")
+
+    orders = rd.read_parquet(
+        _path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=pc.field("o_orderdate") < pa.scalar(cut, pa.timestamp("us")))
+
+    class SegFilter:
+        def __init__(self):
+            self.keys = ray.get(seg_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            i = np.searchsorted(self.keys, ck)
+            i = np.clip(i, 0, len(self.keys) - 1)
+            return b.filter(pa.array(self.keys[i] == ck)) \
+                    .drop_columns(["o_custkey"])
+
+    orders_f = orders.map_batches(SegFilter, batch_format="pyarrow",
+                                  concurrency=2)
+
+    # Partition count tracks the session's CPUs (on a real cluster:
+    # total cores); the default aggregator remote-args reserve
+    # CPU+memory per partition, which pends forever on small local
+    # sessions — cap them explicitly (at scale pass
+    # partition_size_hint so memory reservations are honest instead).
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    joined = lrev.join(
+        orders_f, "inner", num_partitions=max(2, min(16, ncpu)),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"],
+                      as_index=False).agg(revenue_cp=("cp", "sum"))
+        g = g.sort_values(["revenue_cp", "l_orderkey"],
+                          ascending=[False, True], kind="mergesort")
+        return g.head(10)
+
+    parts = joined.map_batches(finish, batch_format="pandas",
+                               batch_size=None).to_pandas()
+    top = parts.sort_values(["revenue_cp", "l_orderkey"],
+                            ascending=[False, True],
+                            kind="mergesort").head(10)
+    top["revenue_cp"] = top["revenue_cp"].astype(np.int64)
+    top["l_orderkey"] = top["l_orderkey"].astype(np.int64)
+    return top[["l_orderkey", "revenue_cp", "o_orderdate",
+                "o_orderpriority"]].reset_index(drop=True)
+
+
 def all_queries() -> dict:
     return dict(QUERIES)
 
