@@ -1783,6 +1783,62 @@ def pages_domains(sf_dir: str):
         partial, batch_format="pyarrow"), "host", finish, 8)
 
 
+def line_dedup_sql(scale: str) -> str:
+    """DuckDB oracle for ``line_dedup``.  ``rid`` keeps duplicate
+    (url, warc_ts) snapshot rows (the corpus plants 2) as separate
+    output rows, matching the Ray side's pure-map row multiplicity."""
+    return """
+    WITH p AS (SELECT url, warc_ts, text,
+                      row_number() OVER (ORDER BY url, warc_ts) AS rid
+               FROM read_parquet('{glob}')
+               WHERE text IS NOT NULL),
+    lines AS (SELECT rid, url, warc_ts,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                       AS ord
+              FROM p),
+    hot AS (SELECT line FROM lines GROUP BY line
+            HAVING count(DISTINCT url) >= {n})
+    SELECT url, warc_ts,
+           coalesce(string_agg(line, chr(10) ORDER BY ord)
+                    FILTER (WHERE line NOT IN (SELECT line FROM hot)),
+                    '') AS clean_text,
+           CAST(count(*) FILTER (WHERE line NOT IN
+                                 (SELECT line FROM hot)) AS BIGINT)
+             AS n_kept,
+           CAST(count(*) FILTER (WHERE line IN
+                                 (SELECT line FROM hot)) AS BIGINT)
+             AS n_dropped
+    FROM lines GROUP BY rid, url, warc_ts""".format(
+        glob=_pages_glob(scale), n=_LINE_DEDUP_MIN_DOCS)
+
+
+#: a line is boilerplate once it appears in >= this many distinct urls
+_LINE_DEDUP_MIN_DOCS = 3
+
+
+@register("line_dedup")   # SQL attached in all_oracle_sql
+def line_dedup(sf_dir: str):
+    """C4-style cross-document line dedup: drop every line that occurs
+    in >= 3 distinct urls (boilerplate), keeping row order/multiplicity;
+    failed-read (null-text) pages are dropped at the read (M5 semantics).
+
+    Scale plan: pass 1 exchanges only distinct (line-hash128,
+    url-hash64) triples and reduces them to the (small, guarded)
+    boilerplate set; pass 2 is a pure broadcast map — split, hash,
+    two-column merge against the broadcast set, and a fully
+    vectorized ``pc.binary_join`` reconstruction.  The corpus text is
+    read twice (two streaming passes) rather than materialized."""
+    from ..corpus import corpus_dir
+    d = corpus_dir(_corpus_scale(sf_dir))
+    pages = rd.read_parquet(os.path.join(d, "pages"),
+                            columns=["url", "warc_ts", "text"],
+                            filter=pc.field("text").is_valid())
+    hot = dedup_mod.hot_lines(pages, "text", "url",
+                              min_docs=_LINE_DEDUP_MIN_DOCS)
+    return dedup_mod.remove_hot_lines(pages, "text", hot)
+
+
 @register("q3_shipping", sql="""
     SELECT l_orderkey,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -1904,4 +1960,5 @@ def all_oracle_sql() -> dict[str, str]:
     out["pages_features_full"] = pages_features_full_sql("t2")
     out["pages_probes_core"] = pages_probes_core_sql("t2")
     out["pages_domains"] = pages_domains_sql("t2")
+    out["line_dedup"] = line_dedup_sql("t2")
     return out

@@ -467,3 +467,115 @@ def simhash_pairs(ds, text_col: str, id_col: str,
         return g.drop_duplicates(["a", "b"])[["a", "b", "hamming"]]
 
     return partition_map(pairs, ["a", "b"], uniq_part, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup (C4-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def _split_lines(col: pa.ChunkedArray):
+    """Vectorized newline split of a string column -> (flat line
+    StringArray, per-row line counts int64, row ids per flat line)."""
+    import pyarrow.compute as pc
+    la = pc.split_pattern(col, pattern="\n").combine_chunks()
+    counts = np.diff(la.offsets.to_numpy())
+    row_ids = np.repeat(np.arange(len(la)), counts)
+    return la.flatten(), counts.astype(np.int64), row_ids
+
+
+def _line_hashes(lines) -> tuple[np.ndarray, np.ndarray]:
+    """Effective 128-bit line content hash (same construction and
+    collision argument as exact_dedup)."""
+    vals = np.asarray(lines.to_numpy(zero_copy_only=False), dtype=object)
+    h = hash64(vals).astype(np.int64)
+    h2 = pd.util.hash_array(vals, hash_key=_H2_KEY,
+                            categorize=False).astype(np.int64)
+    return h, h2
+
+
+def hot_lines(ds, text_col: str, doc_col: str, min_docs: int,
+              num_partitions: int = 16,
+              driver_max: int = 5_000_000) -> pd.DataFrame:
+    """Pass 1 of C4-style line dedup: the (small) set of lines that
+    occur in >= ``min_docs`` DISTINCT documents, as a (h, h2) frame of
+    128-bit line hashes.
+
+    Scale shape: the exchange moves only distinct (line-hash128,
+    doc-hash64) triples (pre-deduplicated per batch — repeated
+    boilerplate inside one batch collapses before the shuffle); the
+    per-partition pass counts distinct docs per line vectorized.  The
+    result is boilerplate — bounded and broadcastable — but guarded:
+    > ``driver_max`` hot lines raises instead of silently flooding the
+    driver (raise min_docs if hit).
+    """
+    import pyarrow.compute as pc  # noqa: F401  (kept for symmetry)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        flat, counts, row_ids = _split_lines(b[text_col])
+        h, h2 = _line_hashes(flat)
+        uh = hash64(
+            b[doc_col].to_numpy(zero_copy_only=False)).astype(np.int64)
+        df = pd.DataFrame({"h": h, "h2": h2,
+                           "uh": uh[row_ids]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        nd = g.groupby(["h", "h2"], as_index=False).agg(
+            nd=("uh", "nunique"))
+        return nd.loc[nd["nd"] >= min_docs, ["h", "h2"]]
+
+    hot = partition_map(ds.map_batches(pairs, batch_format="pyarrow"),
+                        ["h"], count_part, num_partitions)
+    df = hot.limit(driver_max + 1).to_pandas()
+    if len(df) > driver_max:
+        raise ValueError(
+            "hot_lines: more than %d lines cross the min_docs=%d "
+            "threshold; raise min_docs or driver_max" %
+            (driver_max, min_docs))
+    return df
+
+
+def remove_hot_lines(ds, text_col: str, hot: pd.DataFrame,
+                     out_col: str = "clean_text"):
+    """Pass 2: drop every line whose 128-bit hash is in ``hot``
+    (broadcast ONCE via ray.put, looked up per batch with a vectorized
+    two-column merge).  Reconstruction is zero-Python-per-row:
+    filtered flat lines are re-wrapped with recomputed offsets and
+    joined with ``pc.binary_join``.  Adds int64 ``n_kept`` /
+    ``n_dropped`` columns; row order and multiplicity are preserved
+    (a pure map — no exchange in this pass).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    hot_ref = ray.put(pa.Table.from_pandas(
+        hot[["h", "h2"]].drop_duplicates(), preserve_index=False))
+
+    class Clean:
+        def __init__(self):
+            self.hot = ray.get(hot_ref).to_pandas()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            flat, counts, row_ids = _split_lines(b[text_col])
+            h, h2 = _line_hashes(flat)
+            m = pd.DataFrame({"h": h, "h2": h2}).merge(
+                self.hot, on=["h", "h2"], how="left", indicator=True)
+            keep = (m["_merge"] != "both").to_numpy()
+            kept_counts = np.bincount(
+                row_ids[keep], minlength=len(b)).astype(np.int64)
+            offs = np.concatenate(
+                ([0], np.cumsum(kept_counts))).astype(np.int32)
+            la = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), flat.filter(pa.array(keep)))
+            out = b.drop_columns([text_col])
+            out = out.append_column(out_col, pc.binary_join(la, "\n"))
+            out = out.append_column("n_kept", pa.array(kept_counts))
+            return out.append_column(
+                "n_dropped", pa.array(counts - kept_counts))
+
+    # concurrency=2: an actor pool sized to the session would reserve
+    # every CPU and starve the upstream read tasks (deadlock on small
+    # local sessions); 2 actors keep the pool busy while leaving CPUs
+    # for reads.  On a real cluster raise alongside num_cpus.
+    return ds.map_batches(Clean, batch_format="pyarrow", concurrency=2)
