@@ -1839,6 +1839,96 @@ def line_dedup(sf_dir: str):
     return dedup_mod.remove_hot_lines(pages, "text", hot)
 
 
+@register("decontaminate", sql="""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split_regex(trim(text, E' \\t\\n\\r\\f'),
+                                '[ \\t\\n\\r\\f]+') AS w
+      FROM documents WHERE trim(text, E' \\t\\n\\r\\f') <> ''
+    ), g AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
+               THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+      FROM docs
+    ), bg AS (
+      SELECT DISTINCT unnest(s) AS gram FROM g WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM (SELECT doc_id, unnest(s) AS gram FROM g) u
+      WHERE gram IN (SELECT gram FROM bg) GROUP BY doc_id
+    )
+    SELECT g.doc_id, g.doc_id % 97 = 0 AS is_benchmark,
+           coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id""")
+def decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag every document sharing any word
+    trigram with the benchmark set (here the deterministic holdout
+    ``doc_id % 97 == 0``), reporting the distinct-gram overlap count.
+    The standard pre-training hygiene pass (WRAP/GPT-3 style 13-gram
+    filtering, shrunk to 3-grams for the tiny-vocab test corpus).
+
+    Scale plan: the benchmark side is SMALL by definition — its
+    distinct gram set is built once, ray.put ONCE, and probed per
+    batch with a sorted-array ``np.isin`` (no shuffle at all; the
+    corpus side streams map-only).  Tokenization and gram shape are
+    byte-identical to the jaccard_pairs convention (str.split ==
+    whitespace-regex split, proven on this corpus).  Whitespace-only
+    docs have no grams and are excluded on both sides.
+    """
+    from ..stages.dedup import _tokenize
+
+    def grams_of(toks: list[str]) -> np.ndarray:
+        if not toks:
+            return np.empty(0, dtype=object)
+        if len(toks) < 3:
+            return np.asarray([" ".join(toks)], dtype=object)
+        return np.unique(np.asarray(
+            [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)],
+            dtype=object))
+
+    bench = pq.read_table(_path(sf_dir, "documents"),
+                          columns=["doc_id", "text"]).to_pandas()
+    bench = bench[bench["doc_id"] % 97 == 0]
+    bset = np.unique(np.concatenate(
+        [grams_of(t) for t in _tokenize(bench["text"])] or
+        [np.empty(0, dtype=object)]))
+    if bset.nbytes > (256 << 20):
+        raise ValueError("decontaminate: benchmark gram set too large "
+                         "to broadcast; shard the benchmark side")
+    bref = ray.put(bset)
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    class Mark:
+        def __init__(self):
+            self.grams = ray.get(bref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            toks = _tokenize(b["text"])
+            keep, hits = [], []
+            for t in toks:
+                if not t:
+                    keep.append(False)
+                    hits.append(0)
+                    continue
+                keep.append(True)
+                hits.append(int(np.isin(grams_of(t), self.grams,
+                                        assume_unique=True).sum()))
+            out = pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_hits": np.asarray(hits, np.int64)})[
+                    np.asarray(keep)]
+            out["is_benchmark"] = (out["doc_id"] % 97 == 0)
+            out["contaminated"] = out["n_hits"] > 0
+            return out[["doc_id", "is_benchmark", "n_hits",
+                        "contaminated"]]
+
+    return ds.map_batches(Mark, batch_format="pandas", concurrency=2)
+
+
 @register("q3_shipping", sql="""
     SELECT l_orderkey,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
