@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "embedding_near_dup_lsh",
     "multimodal_decode", "custkey_distinct", "custkey_distinct_approx",
     "vocab_topk", "corpus_clean",
+    # round-3 additions
+    "doc_repetition", "doc_normalize", "dedup_normalized",
+    "range_join_funnel", "lang_quantiles", "props_extract",
+    "pages_domains", "line_dedup", "q3_shipping", "decontaminate",
 ]
 
 
