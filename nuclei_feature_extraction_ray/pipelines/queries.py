@@ -1839,6 +1839,111 @@ def line_dedup(sf_dir: str):
     return dedup_mod.remove_hot_lines(pages, "text", hot)
 
 
+@register("doc_tfidf", sql="""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split_regex(trim(text, E' \\t\\n\\r\\f'),
+                                '[ \\t\\n\\r\\f]+') AS w
+      FROM documents WHERE trim(text, E' \\t\\n\\r\\f') <> ''
+    ), nn AS (SELECT count(*) AS n FROM docs),
+    words AS (SELECT doc_id, unnest(w) AS term FROM docs),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM words GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM words GROUP BY term),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN nn
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS rn
+      FROM scored)
+    SELECT doc_id, term, tf, df, score FROM ranked WHERE rn <= 3""")
+def doc_tfidf(sf_dir: str):
+    """Top-3 TF-IDF terms per document — the keyword/relevance scoring
+    pass of a text pipeline.
+
+    Scale plan: pass 1 builds the document-frequency table exchanging
+    only (term, partial-df) pairs (distinct terms per doc collapse per
+    batch before the shuffle) and carries the corpus doc count as a
+    sentinel row; the DF table is vocabulary-sized — broadcast ONCE
+    with a size guard (at web scale, trim to a min-df cutoff first).
+    Pass 2 streams map-only: per-doc np.unique term counts, a
+    searchsorted DF lookup, and a vectorized lexsort top-3.
+    Tokenization matches vocab_topk / jaccard_pairs (str.split ==
+    whitespace-class regex, proven on this corpus)."""
+    from ..stages.dedup import _tokenize
+    from ..stages.partition import partition_map
+
+    SENTINEL = "\x00ndocs"
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        per_doc, ndocs = [], 0
+        for t in _tokenize(b["text"]):
+            if not t:
+                continue
+            ndocs += 1
+            per_doc.append(np.unique(np.asarray(t, dtype=object)))
+        if not per_doc:
+            return pd.DataFrame({"term": pd.Series(dtype=object),
+                                 "df": pd.Series(dtype=np.int64)})
+        u, c = np.unique(np.concatenate(per_doc), return_counts=True)
+        out = pd.DataFrame({"term": u, "df": c.astype(np.int64)})
+        return pd.concat([out, pd.DataFrame(
+            {"term": [SENTINEL], "df": np.asarray([ndocs], np.int64)})],
+            ignore_index=True)
+
+    def df_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", as_index=False).agg(df=("df", "sum"))
+        out["df"] = out["df"].astype(np.int64)
+        return out
+
+    dft = partition_map(ds.map_batches(df_partial,
+                                       batch_format="pandas"),
+                        ["term"], df_combine, 16) \
+        .limit(20_000_001).to_pandas()
+    if len(dft) > 20_000_000:
+        raise ValueError("doc_tfidf: vocabulary too large to "
+                         "broadcast; apply a min-df cutoff first")
+    n_docs = int(dft.loc[dft["term"] == SENTINEL, "df"].iloc[0])
+    dft = dft[dft["term"] != SENTINEL]
+    order = np.argsort(dft["term"].to_numpy())
+    ref = ray.put((dft["term"].to_numpy()[order],
+                   dft["df"].to_numpy(np.int64)[order], n_docs))
+
+    class Score:
+        def __init__(self):
+            self.terms, self.dfs, self.n = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ids, terms, tfs, dfs, scores = [], [], [], [], []
+            for doc_id, t in zip(b["doc_id"].to_numpy(np.int64),
+                                 _tokenize(b["text"])):
+                if not t:
+                    continue
+                u, c = np.unique(np.asarray(t, dtype=object),
+                                 return_counts=True)
+                df = self.dfs[np.searchsorted(self.terms, u)]
+                sc = np.round(c * np.log(self.n / df), 6)
+                top = np.lexsort((u, -sc))[:3]
+                ids.extend([doc_id] * len(top))
+                terms.extend(u[top])
+                tfs.extend(c[top])
+                dfs.extend(df[top])
+                scores.extend(sc[top])
+            return pd.DataFrame({
+                "doc_id": np.asarray(ids, np.int64),
+                "term": np.asarray(terms, dtype=object),
+                "tf": np.asarray(tfs, np.int64),
+                "df": np.asarray(dfs, np.int64),
+                "score": np.asarray(scores, np.float64)})
+
+    return ds.map_batches(Score, batch_format="pandas", concurrency=2)
+
+
 @register("decontaminate", sql="""
     WITH docs AS (
       SELECT doc_id,
