@@ -1155,6 +1155,83 @@ def doc_sample(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+@register("quality_rank", sql="""
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM documents""")
+def quality_rank(sf_dir: str):
+    """Global rank (exact distributed row_number) over a total order —
+    the corpus-wide quality ranking used to cut a "top-N%" training
+    subset.  Ray Data has no row_number; a global ``ds.sort`` alone
+    cannot assign ranks without a driver pass.
+
+    Scale plan: two-phase rank. Phase A aggregates per-key counts
+    (pre-aggregated per batch, one tiny exchange) and the driver turns
+    the (bounded, guarded) key histogram into cumulative offsets,
+    broadcast ONCE.  Phase B co-locates equal keys with the standard
+    hash exchange and assigns rank = offset[key] + intra-key cumcount
+    (vectorized, partition-local).  At web scale with high-cardinality
+    keys, replace the exact histogram with sampled range boundaries —
+    the two-phase shape is unchanged."""
+    from ..stages.partition import partition_map
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "n_chars"])
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("n_chars", as_index=False).agg(
+            n=("doc_id", "size"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    hist = _combine_partials(
+        ds.map_batches(hist_partial, batch_format="pandas"),
+        ["n_chars"], ["n"])
+    hist = hist.sort_values("n_chars", ascending=False,
+                            kind="mergesort")
+    # offset[key] = rows with a strictly greater key
+    offs = np.concatenate(([0], np.cumsum(
+        hist["n"].to_numpy(np.int64))[:-1]))
+    keys = hist["n_chars"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], offs[order]))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        k, o = ray.get(ref)
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True], kind="mergesort")
+        base = o[np.searchsorted(k, g["n_chars"].to_numpy(np.int64))]
+        intra = g.groupby("n_chars", sort=False).cumcount().to_numpy()
+        g["rnk"] = (base + intra + 1).astype(np.int64)
+        return g
+
+    return partition_map(ds, ["n_chars"], rank_part, 16)
+
+
+@register("stratified_sample", sql="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id % 10 < CASE lang WHEN 'en' THEN 3 WHEN 'zh' THEN 6
+                        ELSE 10 END""")
+def stratified_sample(sf_dir: str):
+    """Stratified (per-group-rate) deterministic sampling — the
+    language-rebalancing downsample a pre-training mix needs: head
+    languages are thinned (en 30%, zh 60%), tail languages kept whole.
+    Same pure key-modulus predicate as doc_sample (retry-idempotent,
+    no shuffle); the per-group rate is a vectorized lookup, never a
+    per-group filter pass."""
+    rates = {"en": 3, "zh": 6}
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["lang"].map(rates).fillna(10).to_numpy(np.int64)
+        ids = batch["doc_id"].to_numpy(np.int64)
+        return batch[ids % 10 < k]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 @register("lang_quantiles", sql="""
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars,
