@@ -275,3 +275,47 @@ def test_embedding_near_dup_lsh_recall_and_exact_cosines():
     assert set(planted) <= a            # near-identical pairs found
     m = exact.merge(approx, on=["a", "b"])
     np.testing.assert_array_equal(m["cosine_x"], m["cosine_y"])
+
+
+# ---------------------------------------------------------------------------
+# C4-style line dedup (round 3)
+# ---------------------------------------------------------------------------
+
+def _line_ds():
+    import ray.data as rd
+    docs = [
+        {"doc": 1, "text": "boiler\nunique one\nboiler two"},
+        {"doc": 2, "text": "boiler\nunique two"},
+        {"doc": 3, "text": "boiler\nunique three\nboiler two"},
+        {"doc": 4, "text": "solo line"},
+        {"doc": 5, "text": "boiler"},          # whole doc is boilerplate
+    ]
+    return rd.from_items(docs)
+
+
+def test_hot_lines_distinct_doc_threshold():
+    from nuclei_feature_extraction_ray.stages.dedup import hot_lines
+    hot = hot_lines(_line_ds(), "text", "doc", min_docs=3)
+    # "boiler" in 4 docs; "boiler two" in only 2 -> not hot
+    assert len(hot) == 1
+
+
+def test_hot_lines_driver_guard_raises():
+    import pytest
+    from nuclei_feature_extraction_ray.stages.dedup import hot_lines
+    with pytest.raises(ValueError, match="hot_lines"):
+        hot_lines(_line_ds(), "text", "doc", min_docs=1, driver_max=2)
+
+
+def test_remove_hot_lines_rebuild_and_counts():
+    from nuclei_feature_extraction_ray.stages.dedup import (
+        hot_lines, remove_hot_lines)
+    ds = _line_ds()
+    hot = hot_lines(ds, "text", "doc", min_docs=3)
+    out = remove_hot_lines(ds, "text", hot).to_pandas() \
+        .sort_values("doc").reset_index(drop=True)
+    assert list(out["clean_text"]) == [
+        "unique one\nboiler two", "unique two",
+        "unique three\nboiler two", "solo line", ""]
+    assert list(out["n_dropped"]) == [1, 1, 1, 0, 1]
+    assert list(out["n_kept"]) == [2, 1, 2, 1, 0]
