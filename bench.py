@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "doc_repetition", "doc_normalize", "dedup_normalized",
     "range_join_funnel", "lang_quantiles", "props_extract",
     "pages_domains", "line_dedup", "q3_shipping", "decontaminate",
-    "doc_tfidf", "stratified_sample", "quality_rank",
+    "doc_tfidf", "stratified_sample", "quality_rank", "semantic_dedup",
 ]
 
 

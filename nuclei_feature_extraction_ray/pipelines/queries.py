@@ -1916,6 +1916,19 @@ def line_dedup(sf_dir: str):
     return dedup_mod.remove_hot_lines(pages, "text", hot)
 
 
+@register("semantic_dedup")  # k-means not SQL-expressible -> rows-only
+def semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic pruning over the embeddings table:
+    cluster (spherical k-means, bounded sample), then drop rows with a
+    lower-id in-cluster neighbor above the cosine threshold.
+    Deterministic under the fixed seed; recall vs the exact near-dup
+    pair tier is measured in pytest (test_dedup_ann)."""
+    ds = rd.read_parquet(_path(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return ann_mod.semantic_dedup(ds, "embedding", "vec_id",
+                                  threshold=COSINE_TAU)
+
+
 @register("doc_tfidf", sql="""
     WITH docs AS (
       SELECT doc_id,

@@ -445,6 +445,114 @@ def embedding_near_dup_lsh(ds, emb_col: str, id_col: str,
     return partition_map(cand, ["a", "b"], uniq, num_partitions)
 
 
+def _train_centroids(ds, emb_col: str, id_col: str, n_cells: int,
+                     sample_size: int, kmeans_iters: int,
+                     seed: int) -> np.ndarray:
+    """Spherical k-means centroids trained on a bounded driver-side
+    sample (normalized rows, mean-renormalized updates); deterministic
+    under the fixed seed.  The sample is SORTED by id before training:
+    block arrival order is not stable across executions, and k-means
+    init + update order depend on row order — without the sort, two
+    runs of the same query could emit different (equally valid) cell
+    labelings."""
+    sample = ds.select_columns([id_col, emb_col]).limit(sample_size)
+    tabs = [pa.concat_tables([ray.get(r)])
+            for r in sample.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_rows]
+    tab = pa.concat_tables(tabs)
+    order = np.argsort(tab[id_col].to_numpy(zero_copy_only=False),
+                       kind="stable")
+    smat = _norm_rows(_stack(tab[emb_col])[order])
+    rng = np.random.default_rng(seed)
+    cents = smat[rng.choice(len(smat), size=min(n_cells, len(smat)),
+                            replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(smat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = smat[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def semantic_dedup(ds, emb_col: str, id_col: str, threshold: float,
+                   n_cells: int = 16, sample_size: int = 2048,
+                   kmeans_iters: int = 10, seed: int = 23,
+                   num_partitions: int = 16, max_cell: int = 100_000):
+    """SemDeDup-style semantic dedup: spherical-k-means cluster the
+    embeddings, then within each cluster drop every row that has a
+    lower-id neighbor at cosine >= ``threshold`` (greedy keep-min-id —
+    deterministic, retry-idempotent).
+
+    Scale shape: centroids train on a bounded sample and broadcast
+    with the assignment map; the ONE exchange is keyed on cell id and
+    carries (cell, id, packed unit vector) rows; the in-cell pass is a
+    single X @ X.T per cell. In-cell work is quadratic in CELL size,
+    not corpus size — flops ~ n^2/n_cells for balanced cells; size
+    ``n_cells`` so cells stay under ``max_cell`` (guarded: an
+    over-large cell raises rather than OOMing a worker). Approximate
+    by construction: near-dup pairs straddling a cell boundary are
+    missed — the recall/threshold trade is measured in pytest against
+    the exact pair tier.
+
+    Returns (id, cell, keep) for every input row.
+    """
+    from .partition import partition_map
+
+    cents = _train_centroids(ds, emb_col, id_col, n_cells,
+                             sample_size, kmeans_iters, seed)
+    cref = ray.put(cents)
+
+    class Assign:
+        def __init__(self):
+            self.cents = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            mat = _norm_rows(_stack(batch[emb_col]))
+            cell = np.argmax(mat @ self.cents.T, axis=1)
+            d = mat.shape[1]
+            return pa.table({
+                "id": pa.array(ids.astype(np.int64)),
+                "cell": pa.array(cell.astype(np.int64)),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), pa.float64()), d)})
+
+    assigned = ds.select_columns([id_col, emb_col]).map_batches(
+        Assign, batch_format="pyarrow", concurrency=pool_size(),
+        batch_size=4096)
+
+    def cell_prune(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cell, grp in g.groupby("cell", sort=False):
+            if len(grp) > max_cell:
+                raise ValueError(
+                    "semantic_dedup: cell %d has %d rows > max_cell=%d;"
+                    " raise n_cells" % (cell, len(grp), max_cell))
+            grp = grp.sort_values("id", kind="mergesort")
+            mat = np.vstack([np.asarray(v, np.float64)
+                             for v in grp["vec"]])
+            sims = mat @ mat.T
+            # drop row j if any i < j has cos >= threshold
+            dup = (np.triu(sims >= threshold, k=1)).any(axis=0)
+            out.append(pd.DataFrame({
+                "id": grp["id"].to_numpy(np.int64),
+                "cell": grp["cell"].to_numpy(np.int64),
+                "keep": ~dup}))
+        if not out:
+            return pd.DataFrame({
+                "id": pd.Series(dtype=np.int64),
+                "cell": pd.Series(dtype=np.int64),
+                "keep": pd.Series(dtype=bool)})
+        return pd.concat(out, ignore_index=True)
+
+    return partition_map(assigned, ["cell"], cell_prune,
+                         num_partitions)
+
+
 def ann_ivf(ds, emb_col: str, id_col: str, query_ids: list[int],
             k: int = 5, n_cells: int = 16, n_probe_cells: int = 4,
             sample_size: int = 2048, kmeans_iters: int = 10,
@@ -458,25 +566,8 @@ def ann_ivf(ds, emb_col: str, id_col: str, query_ids: list[int],
     ``ann_bruteforce``; scan fraction ~ n_probe_cells / n_cells.
     """
     qids, qmat = _query_matrix(ds, emb_col, id_col, query_ids)
-
-    # centroid training on a bounded sample (normalized rows, cosine
-    # k-means = spherical k-means with mean-renormalized updates)
-    sample = ds.select_columns([emb_col]).limit(sample_size)
-    smat = _norm_rows(np.vstack(
-        [_stack(pa.concat_tables([ray.get(r)])[emb_col])
-         for r in sample.to_arrow_refs()]))
-    rng = np.random.default_rng(seed)
-    cents = smat[rng.choice(len(smat), size=min(n_cells, len(smat)),
-                            replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(smat @ cents.T, axis=1)
-        for c in range(len(cents)):
-            m = assign == c
-            if m.any():
-                v = smat[m].mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cents[c] = v / n
+    cents = _train_centroids(ds, emb_col, id_col, n_cells,
+                             sample_size, kmeans_iters, seed)
 
     # each query probes its n_probe_cells nearest cells
     qcell = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe_cells]

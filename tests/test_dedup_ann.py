@@ -319,3 +319,42 @@ def test_remove_hot_lines_rebuild_and_counts():
         "unique three\nboiler two", "solo line", ""]
     assert list(out["n_dropped"]) == [1, 1, 1, 0, 1]
     assert list(out["n_kept"]) == [2, 1, 2, 1, 0]
+
+
+def test_semantic_dedup_prunes_planted_dups():
+    import ray.data as rd
+    from nuclei_feature_extraction_ray.stages.ann import (
+        embedding_near_dup, semantic_dedup)
+    rng = np.random.default_rng(11)
+    d, n = 16, 256
+    # 4 well-separated clusters + planted near-identical dups
+    base = rng.standard_normal((4, d)) * 8
+    mat = base[np.arange(n) % 4] + 0.5 * rng.standard_normal((n, d))
+    planted = [(i, i + 128) for i in range(0, 24, 4)]
+    for a, b in planted:
+        mat[b] = mat[a] + 1e-4 * rng.standard_normal(d)
+        mat[b - 1] = mat[a]            # force same parity cluster too
+    tbl = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.array(list(mat),
+                                          pa.list_(pa.float64()))})
+    ds = rd.from_arrow(tbl)
+    out = semantic_dedup(ds, "embedding", "vec_id", threshold=0.999,
+                         n_cells=4).to_pandas()
+    assert len(out) == n
+    keep = dict(zip(out["id"], out["keep"]))
+    # planted near-identical rows are pruned, originals kept
+    for a, b in planted:
+        assert keep[a] and not keep[b]
+    # determinism: same seed -> identical result
+    out2 = semantic_dedup(ds, "embedding", "vec_id", threshold=0.999,
+                          n_cells=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("id").reset_index(drop=True),
+        out2.sort_values("id").reset_index(drop=True))
+    # soundness vs the exact pair tier: every pruned row has SOME
+    # >=threshold lower-id partner in the exact pair list
+    exact = embedding_near_dup(ds, "embedding", "vec_id",
+                               threshold=0.999, block_size=64)
+    has_lower = set(exact["b"]) 
+    pruned = set(out.loc[~out["keep"], "id"])
+    assert pruned <= has_lower
