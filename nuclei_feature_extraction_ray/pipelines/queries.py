@@ -2230,6 +2230,221 @@ def q3_shipping(sf_dir: str):
                 "o_orderpriority"]].reset_index(drop=True)
 
 
+#: source_mix weights in tenths (25 = 2.5 epochs, 4 = 0.4x downsample,
+#: unlisted sources keep weight 10 = exactly once).
+MIX_WEIGHTS = {"src0": 25, "src2": 4}
+_MIX_K = ("CASE source WHEN 'src0' THEN 25 WHEN 'src2' THEN 4 "
+          "ELSE 10 END")
+
+
+@register("source_mix", sql="""
+    SELECT doc_id, source, CAST(r.rep AS BIGINT) AS rep
+    FROM documents
+    CROSS JOIN (SELECT unnest(range(0, 5)) AS rep) r
+    WHERE r.rep < ({k} // 10)
+        + CASE WHEN doc_id % 10 < ({k} % 10) THEN 1 ELSE 0 END""".format(
+        k=_MIX_K))
+def source_mix(sf_dir: str):
+    """Weighted dataset mixing with fractional epochs — the
+    pre-training mix step that UP-samples prized sources (weight 2.5
+    -> each doc appears 2 or 3 times, the extra copy chosen by the
+    same deterministic key-modulus as doc_sample) and thins bulk
+    sources (weight 0.4), emitting a repeat index per copy so a
+    downstream shuffle can spread epochs.
+
+    Scale shape: pure per-row arithmetic in one ``map_batches`` — no
+    shuffle, no state, retry-idempotent (the modulus predicate makes
+    the fractional copy a function of doc_id alone). Row expansion is
+    vectorized ``np.repeat``; weights ship in the closure (a table of
+    source->weight at real scale would broadcast via ``ray.put``)."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "source"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["source"].map(MIX_WEIGHTS).fillna(10) \
+            .to_numpy(np.int64)
+        ids = batch["doc_id"].to_numpy(np.int64)
+        reps = k // 10 + (ids % 10 < k % 10)
+        idx = np.repeat(np.arange(len(batch)), reps)
+        cum = np.cumsum(reps)
+        rep = np.arange(int(reps.sum())) - np.repeat(cum - reps, reps)
+        out = batch.iloc[idx].reset_index(drop=True)
+        out["rep"] = rep.astype(np.int64)
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SEQ_BUDGET = 1024                   # tokens per packed training sequence
+_SEQ_BUCKET = 128                   # doc_ids per prefix-sum bucket
+
+
+@register("seq_pack", sql="""
+    WITH t AS (SELECT doc_id, CAST({tok} AS BIGINT) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, n_tok,
+                 sum(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+          FROM t)
+    SELECT doc_id, n_tok,
+           CAST((cum - n_tok) // {B} AS BIGINT) AS seq_id,
+           CAST((cum - n_tok) % {B} AS BIGINT) AS seq_off
+    FROM c""".format(tok=text_stats_sql("text")["n_tokens"],
+                     B=SEQ_BUDGET))
+def seq_pack(sf_dir: str):
+    """GPT-style sequence packing (concatenate-and-chunk): documents
+    are laid end-to-end in doc_id order and cut into fixed
+    ``SEQ_BUDGET``-token training sequences; each doc gets the sequence
+    id and token offset where it starts (docs may straddle a boundary
+    — that IS the classic packing semantics). All integer arithmetic,
+    so the oracle match is bit-exact.
+
+    Scale shape: the global token prefix-sum is two-phase like
+    ``quality_rank`` — phase A pre-aggregates per-bucket token totals
+    (bucket = doc_id range, one tiny exchange through the guarded
+    driver combine), the driver turns the bucket histogram into
+    cumulative offsets broadcast ONCE via ``ray.put``; phase B is the
+    standard hash exchange on bucket + partition-local sort/cumsum.
+    Text never crosses the exchange — docs are reduced to (doc_id,
+    bucket, n_tok) before the shuffle."""
+    from ..stages.partition import partition_map
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def toks(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        nt = text_stats_frame(batch["text"])["n_tokens"] \
+            .to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids,
+                             "bucket": ids // _SEQ_BUCKET,
+                             "n_tok": nt})
+
+    tok_ds = ds.map_batches(toks, batch_format="pandas")
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("bucket", as_index=False).agg(s=("n_tok", "sum"))
+        g["s"] = g["s"].astype(np.int64)
+        return g
+
+    hist = _combine_partials(
+        tok_ds.map_batches(hist_partial, batch_format="pandas"),
+        ["bucket"], ["s"]).sort_values("bucket", kind="mergesort")
+    offs = np.concatenate(([0], np.cumsum(
+        hist["s"].to_numpy(np.int64))[:-1]))
+    ref = ray.put((hist["bucket"].to_numpy(np.int64), offs))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        bk, off = ray.get(ref)
+        g = g.sort_values("doc_id", kind="mergesort")
+        nt = g["n_tok"].to_numpy(np.int64)
+        base = off[np.searchsorted(bk, g["bucket"].to_numpy(np.int64))]
+        intra = np.concatenate([
+            np.cumsum(grp) - grp for grp in
+            np.split(nt, np.unique(g["bucket"].to_numpy(np.int64),
+                                   return_index=True)[1][1:])])
+        start = base + intra
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_tok": nt,
+            "seq_id": (start // SEQ_BUDGET).astype(np.int64),
+            "seq_off": (start % SEQ_BUDGET).astype(np.int64)})
+
+    return partition_map(tok_ds, ["bucket"], pack, 8)
+
+
+@register("quality_band", sql="""
+    WITH q AS (SELECT quantile_cont(n_chars, 0.10) AS lo,
+                      quantile_cont(n_chars, 0.90) AS hi
+               FROM documents)
+    SELECT doc_id, lang, n_chars FROM documents, q
+    WHERE n_chars >= q.lo AND n_chars <= q.hi""")
+def quality_band(sf_dir: str):
+    """Percentile-band filtering — cut the global length outliers
+    (keep docs inside [P10, P90]) the way a corpus-cleaning pass trims
+    truncated fragments and mega-pages. The thresholds are EXACT
+    global quantiles computed from a value histogram (per-batch value
+    counts -> guarded driver combine -> quantile_cont interpolation
+    mirroring DuckDB's ``lower + (upper-lower)*(h-floor(h))``), then
+    broadcast into a vectorized Arrow filter — no shuffle anywhere,
+    two streaming passes. The histogram is bounded by the number of
+    DISTINCT values (here: lengths), not rows; for unbounded-
+    cardinality columns the sketch tier (lang_quantiles_approx) is
+    the scale path."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def vc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("n_chars", as_index=False).agg(
+            n=("n_chars", "size"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    hist = _combine_partials(
+        ds.map_batches(vc_partial, batch_format="pandas"),
+        ["n_chars"], ["n"]).sort_values("n_chars", kind="mergesort")
+    vals = hist["n_chars"].to_numpy(np.float64)
+    cum = np.cumsum(hist["n"].to_numpy(np.int64))
+    n = int(cum[-1])
+
+    def q_cont(q: float) -> float:
+        # DuckDB quantile_cont: h = (n-1)*q over the sorted values;
+        # kth order statistic read off the cumulative histogram.
+        h = (n - 1) * q
+        i = int(np.floor(h))
+        lo = vals[np.searchsorted(cum, i + 1)]
+        hi = vals[np.searchsorted(cum, min(i + 2, n))]
+        return float(lo + (hi - lo) * (h - np.floor(h)))
+
+    lo, hi = q_cont(0.10), q_cont(0.90)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((nc >= lo) & (nc <= hi)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@register("lang_pivot", sql="""
+    SELECT source, {cells},
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM documents GROUP BY source""".format(cells=", ".join(
+        "CAST(sum(CASE WHEN lang='%s' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_%s" % (l, l) for l in LANGS)))
+def lang_pivot(sf_dir: str):
+    """Pivot/reshape: long (source, lang) pairs -> one wide row per
+    source with a column per language — the corpus-composition matrix
+    a mix designer reads. Per-batch crosstab partials (distinct
+    sources x langs rows, pre-aggregated before any exchange) fold
+    through the guarded driver combine; the pivoted schema is FIXED by
+    the ``LANGS`` list, so block schemas agree regardless of which
+    languages a batch happens to contain."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["source", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(b["source"], b["lang"])
+        ct = ct.reindex(columns=LANGS, fill_value=0)
+        out = ct.reset_index()
+        out.columns = ["source"] + ["n_%s" % l for l in LANGS]
+        for l in LANGS:
+            out["n_%s" % l] = out["n_%s" % l].astype(np.int64)
+        return out
+
+    cols = ["n_%s" % l for l in LANGS]
+    out = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source"], cols)
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    out["n_total"] = out[cols].sum(axis=1).astype(np.int64)
+    return out
+
+
 def all_queries() -> dict:
     return dict(QUERIES)
 
