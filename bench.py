@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "range_join_funnel", "lang_quantiles", "props_extract",
     "pages_domains", "line_dedup", "q3_shipping", "decontaminate",
     "doc_tfidf", "stratified_sample", "quality_rank", "semantic_dedup",
+    "source_mix", "seq_pack", "quality_band", "lang_pivot",
+    "epoch_shuffle",
 ]
 
 

@@ -2445,6 +2445,75 @@ def lang_pivot(sf_dir: str):
     return out
 
 
+SHUFFLE_SEED = 7
+
+
+@register("epoch_shuffle", sql="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':{seed}'),
+                        doc_id)
+           AS BIGINT) AS pos
+    FROM documents""".format(seed=SHUFFLE_SEED))
+def epoch_shuffle(sf_dir: str):
+    """Reproducible epoch shuffle: every doc gets its position in a
+    SEEDED deterministic global permutation (order by a portable md5
+    of ``doc_id:seed``) — the data-ordering step of a training run
+    that must be bit-reproducible across retries and resumes, unlike
+    ``random_shuffle``. A new seed is a new permutation.
+
+    Scale shape: rank-over-unique-keys, so the quality_rank histogram
+    would be corpus-sized — instead bucket by the hash PREFIX (256
+    buckets: lexicographic order of the first two hex chars equals
+    bucket-integer order), phase A counts per bucket (bounded driver
+    combine, 256 rows), phase B is one hash exchange on bucket +
+    partition-local sort by (hash, doc_id); position = broadcast
+    bucket offset + intra-bucket rank. The md5 costs one digest per
+    ROW (not per token — cheaper than the md5 dedup family)."""
+    import hashlib
+
+    from ..stages.partition import partition_map
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id"])
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        hs = ["%s" % hashlib.md5(
+            ("%d:%d" % (i, SHUFFLE_SEED)).encode()).hexdigest()
+            for i in ids]
+        return pd.DataFrame({
+            "doc_id": ids,
+            "h": hs,
+            "bucket": np.asarray([int(h[:2], 16) for h in hs],
+                                 np.int64)})
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("bucket", as_index=False).agg(n=("doc_id", "size"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    hist = _combine_partials(
+        keyed.map_batches(hist_partial, batch_format="pandas"),
+        ["bucket"], ["n"]).sort_values("bucket", kind="mergesort")
+    offs = np.concatenate(([0], np.cumsum(
+        hist["n"].to_numpy(np.int64))[:-1]))
+    ref = ray.put((hist["bucket"].to_numpy(np.int64), offs))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        bk, off = ray.get(ref)
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        base = off[np.searchsorted(bk, g["bucket"].to_numpy(np.int64))]
+        intra = g.groupby("bucket", sort=False).cumcount().to_numpy()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "pos": (base + intra + 1).astype(np.int64)})
+
+    return partition_map(keyed, ["bucket"], rank_part, 8)
+
+
 def all_queries() -> dict:
     return dict(QUERIES)
 
