@@ -2514,6 +2514,49 @@ def epoch_shuffle(sf_dir: str):
     return partition_map(keyed, ["bucket"], rank_part, 8)
 
 
+@register("dedup_clusters", sql="""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      SELECT a, b FROM ({jac}) jp
+    ), edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION SELECT b, a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster,
+           CAST(CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS BIGINT)
+               AS is_rep
+    FROM reach GROUP BY src""")
+def dedup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTER resolution: exact Jaccard pairs ->
+    distributed connected components (min-label propagation,
+    ``stages/graph.py``) -> every doc labeled with its component's min
+    id and an ``is_rep`` keep flag — the decision step that turns a
+    pair list into "which rows survive dedup". Singletons (including
+    empty docs, which have no shingles) are their own cluster via one
+    keyed left-join exchange. The oracle recomputes the components
+    with a recursive transitive-closure CTE over the same pair SQL —
+    quadratic like every exact-pair oracle, while the engine's rounds
+    move only edge-sized label messages."""
+    from ..stages.graph import attach_clusters, connected_components
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    pairs = dedup_mod.jaccard_pairs(ds, "text", "doc_id",
+                                    ngram=JACCARD_NGRAM,
+                                    threshold=JACCARD_TAU)
+    cc = connected_components(pairs, "a", "b", num_partitions=8)
+    ids = rd.read_parquet(_path(sf_dir, "documents"),
+                          columns=["doc_id"])
+    return attach_clusters(ids, cc, "doc_id", num_partitions=8)
+
+
+ORACLE["dedup_clusters"] = ORACLE["dedup_clusters"].format(
+    jac=ORACLE["jaccard_pairs"])
+
+
 def all_queries() -> dict:
     return dict(QUERIES)
 

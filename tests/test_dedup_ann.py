@@ -358,3 +358,33 @@ def test_semantic_dedup_prunes_planted_dups():
     has_lower = set(exact["b"]) 
     pruned = set(out.loc[~out["keep"], "id"])
     assert pruned <= has_lower
+
+
+def test_connected_components_tiers_agree():
+    """Driver union-find tier == distributed min-label propagation
+    tier, on a graph with a chain (1-2-3), a self-loop (9-9), a
+    cross-component bridge (9-1), and an isolated pair (5-6)."""
+    from nuclei_feature_extraction_ray.stages.graph import (
+        attach_clusters, connected_components)
+
+    edges = rd.from_pandas(pd.DataFrame(
+        {"a": [1, 2, 5, 9, 9], "b": [2, 3, 6, 9, 1]}))
+
+    def norm(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    lo = norm(connected_components(edges, max_driver_edges=0)
+              .to_pandas())
+    hi = norm(connected_components(edges).to_pandas())
+    pd.testing.assert_frame_equal(lo, hi)
+    assert dict(zip(hi["node"], hi["label"])) == {
+        1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+    # singletons resolved by the attach join: 7 absent from edges
+    ids = rd.from_pandas(pd.DataFrame({"doc_id": [1, 3, 5, 7]}))
+    out = norm(attach_clusters(ids, connected_components(edges),
+                               "doc_id").to_pandas())
+    assert dict(zip(out["doc_id"], out["cluster"])) == {
+        1: 1, 3: 1, 5: 5, 7: 7}
+    assert dict(zip(out["doc_id"], out["is_rep"])) == {
+        1: 1, 3: 0, 5: 1, 7: 1}
