@@ -52,7 +52,7 @@ BENCH_QUERIES = [
     "pages_domains", "line_dedup", "q3_shipping", "decontaminate",
     "doc_tfidf", "stratified_sample", "quality_rank", "semantic_dedup",
     "source_mix", "seq_pack", "quality_band", "lang_pivot",
-    "epoch_shuffle", "dedup_clusters",
+    "epoch_shuffle", "dedup_clusters", "topk_per_group", "dup_spans",
 ]
 
 

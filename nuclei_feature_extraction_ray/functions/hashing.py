@@ -39,6 +39,64 @@ def _hash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+#: odd 64-bit bases for the two independent polynomial rolling hashes
+#: (odd -> invertible mod 2^64, so the cumsum-difference trick below
+#: can renormalize every window with one vectorized multiply).
+_RK_BASE1 = 0x100000001B3          # FNV-1a prime
+_RK_BASE2 = 0x9E3779B97F4A7C15     # 2^64 / golden ratio
+_rk_tables_cache: dict = {}
+
+
+def _rk_tables(n: int, base: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cached (powers, inverse-powers) of ``base`` mod 2^64, length
+    >= n. Grown geometrically; all arithmetic wraps in uint64."""
+    pw_ipw = _rk_tables_cache.get(base)
+    if pw_ipw is None or len(pw_ipw[0]) < n:
+        size = max(n, 4096)
+        if pw_ipw is not None:
+            size = max(size, 2 * len(pw_ipw[0]))
+        pw = np.full(size, np.uint64(base), np.uint64)
+        pw[0] = 1
+        np.multiply.accumulate(pw, out=pw)          # wraps mod 2^64
+        inv = pow(base, -1, 1 << 64)
+        ipw = np.full(size, np.uint64(inv), np.uint64)
+        ipw[0] = 1
+        np.multiply.accumulate(ipw, out=ipw)
+        _rk_tables_cache[base] = pw_ipw = (pw, ipw)
+    return pw_ipw
+
+
+def rolling_kgram_hash128(text: str, k: int) -> tuple[np.ndarray,
+                                                      np.ndarray]:
+    """All character k-grams of ``text`` as two independent 64-bit
+    polynomial hashes (128 bits total) — one vectorized pass, no
+    per-gram Python. CHARACTER semantics (UTF-32 code points), so
+    positions line up with SQL ``substring``/``length``. Returns
+    ``(h1, h2)`` uint64 arrays of length ``len(text) - k + 1`` (empty
+    when the text is shorter than ``k``).
+
+    Rolling form: with S = cumsum(char[j] * base^j) mod 2^64,
+    hash(i) = (S[i+k] - S[i]) * base^-i — equal to
+    sum_j char[i+j] * base^j, the classic content-defined gram key
+    (cf. Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL'22 — suffix-array ExactSubstr; this is the
+    hashed-gram shuffle analog)."""
+    cps = np.frombuffer(text.encode("utf-32-le"),
+                        np.uint32).astype(np.uint64)
+    n = len(cps)
+    m = n - k + 1
+    if m <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    out = []
+    for base in (_RK_BASE1, _RK_BASE2):
+        pw, ipw = _rk_tables(n + 1, base)
+        s = np.empty(n + 1, np.uint64)
+        s[0] = 0
+        np.cumsum(cps * pw[:n], out=s[1:])          # wraps mod 2^64
+        out.append((s[k:] - s[:-k]) * ipw[:m])
+    return out[0], out[1]
+
+
 def word_shingles(tokens: list[str], n: int = 3) -> np.ndarray:
     """Distinct hashed word n-grams of one document -> uint64 array."""
     if len(tokens) < n:

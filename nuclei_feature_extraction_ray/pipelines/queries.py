@@ -2557,6 +2557,93 @@ ORACLE["dedup_clusters"] = ORACLE["dedup_clusters"].format(
     jac=ORACLE["jaccard_pairs"])
 
 
+@register("topk_per_group", sql="""
+    SELECT lang, source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT lang, source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 3""")
+def topk_per_group(sf_dir: str):
+    """Grouped top-k (top-3 longest docs per lang x source) WITHOUT a
+    global sort: per-block partial top-k per group (vectorized sort +
+    groupby.head) shrinks each block to <= groups_in_block x k rows,
+    then ONE hash exchange on the group key and a final per-partition
+    top-k + rank. Scale shape: the exchange moves at most
+    k x |groups| x blocks rows (k-bounded, text never ships); no
+    driver-side materialization at any point. The global-top-k twin is
+    ``top_spenders``; this is the per-group form every
+    "best-N-documents-per-domain" curation pass needs."""
+    K = 3
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["lang", "source", "doc_id",
+                                  "n_chars"])
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True], kind="mergesort")
+        return b.groupby(["lang", "source"], sort=False).head(K)
+
+    from ..stages.partition import partition_map
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True], kind="mergesort")
+        g = g.groupby(["lang", "source"], sort=False).head(K).copy()
+        g["rk"] = g.groupby(["lang", "source"], sort=False) \
+            .cumcount().to_numpy(np.int64) + 1
+        return g[["lang", "source", "doc_id", "n_chars", "rk"]]
+
+    return partition_map(ds.map_batches(block_topk,
+                                        batch_format="pandas"),
+                         ["lang", "source"], final_topk, 8)
+
+
+@register("dup_spans", sql="""
+    WITH RECURSIVE idx(i) AS (
+      SELECT CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT i + 1 FROM idx
+      WHERE i + 1 <= (SELECT max(length(text)) - 20 FROM documents)
+    ), grams AS (
+      SELECT d.doc_id, idx.i AS pos,
+             substring(d.text, CAST(idx.i AS INTEGER) + 1, 20) AS g
+      FROM documents d JOIN idx ON idx.i <= length(d.text) - 20
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING count(DISTINCT doc_id) > 1
+    ), hits AS (
+      SELECT gr.doc_id, gr.pos FROM grams gr JOIN dup USING (g)
+    ), brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos, 1, -999999) OVER w + 20
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isles AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isle
+      FROM brks
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 20 AS BIGINT) AS span_end,
+           CAST(max(pos) + 20 - min(pos) AS BIGINT) AS span_len
+    FROM isles GROUP BY doc_id, isle""")
+def dup_spans(sf_dir: str):
+    """Exact duplicate-substring span detection (Lee et al. ACL'22
+    ExactSubstr goal): maximal character ranges of each doc covered by
+    a 20-gram that also occurs in another doc — the ranges a
+    substring-level dedup would cut. Engine: ``stages.dedup
+    .duplicate_spans`` (vectorized 128-bit rolling-hash grams -> gram
+    exchange -> per-doc island merge). Oracle: literal substring
+    grams + gaps-and-islands windows — string-quadratic like every
+    exact oracle, while the engine ships only 24-byte gram rows."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    return dedup_mod.duplicate_spans(ds, "text", "doc_id", k=20,
+                                     num_partitions=8)
+
+
 def all_queries() -> dict:
     return dict(QUERIES)
 

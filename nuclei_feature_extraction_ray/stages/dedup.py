@@ -579,3 +579,91 @@ def remove_hot_lines(ds, text_col: str, hot: pd.DataFrame,
     # local sessions); 2 actors keep the pool busy while leaving CPUs
     # for reads.  On a real cluster raise alongside num_cpus.
     return ds.map_batches(Clean, batch_format="pyarrow", concurrency=2)
+
+
+def duplicate_spans(ds, text_col: str, id_col: str, k: int = 20,
+                    num_partitions: int = 8):
+    """Exact duplicate-SUBSTRING span detection (the ExactSubstr goal
+    of Lee et al., ACL'22, recast as hashed-gram exchanges): find, for
+    every document, the maximal character ranges covered by some
+    k-gram that also appears in ANOTHER document. Returns
+    ``(id_col, span_start, span_end, span_len)`` with ``span_end``
+    exclusive — the ranges a substring-level dedup pass would cut.
+
+    Three stages, two exchanges, nothing on the driver:
+    1. map: every doc -> (h1, h2, doc, pos) rows for all character
+       k-grams, hashed with the vectorized 128-bit rolling polynomial
+       (``functions.hashing.rolling_kgram_hash128`` — one numpy pass
+       per doc, no per-gram Python, char positions == SQL substring).
+    2. exchange on (h1, h2): a gram kept iff its posting list spans
+       >1 DISTINCT doc (cross-doc duplication only; within-doc repeats
+       alone don't mark a span). Emits only the duplicated (doc, pos)
+       hits — the text itself never crosses any exchange.
+    3. exchange on doc: sort positions, merge overlapping/adjacent
+       [pos, pos+k) intervals (vectorized gaps-and-islands cumsum).
+
+    Scale accounting: stage 1 inflates 1 byte of corpus into one
+    24-byte gram row — the honest cost of EXACT substring dedup (the
+    reference-free sampling alternative is winnowing, implemented as
+    ``doc_fingerprint``). Gram rows stream block-by-block through the
+    hash exchange with backpressure and are never materialized in one
+    place; 128-bit keys make cross-gram collisions negligible
+    (identical standard to ``exact_dedup``). Skew: a gram duplicated
+    across q docs costs q rows in one partition — bounded by doc
+    count, and hot grams (boilerplate) are exactly the spans we want.
+    """
+    from ..functions.hashing import rolling_kgram_hash128
+
+    def grams(b: pd.DataFrame) -> pd.DataFrame:
+        h1s, h2s, docs, poss = [], [], [], []
+        for did, txt in zip(b[id_col].to_numpy(),
+                            b[text_col].to_numpy()):
+            h1, h2 = rolling_kgram_hash128(txt, k)
+            m = len(h1)
+            if not m:
+                continue
+            h1s.append(h1)
+            h2s.append(h2)
+            docs.append(np.full(m, did, np.int64))
+            poss.append(np.arange(m, dtype=np.int64))
+        if not docs:
+            return _empty({"h1": np.uint64, "h2": np.uint64,
+                           "doc": np.int64, "pos": np.int64})
+        return pd.DataFrame({"h1": np.concatenate(h1s),
+                             "h2": np.concatenate(h2s),
+                             "doc": np.concatenate(docs),
+                             "pos": np.concatenate(poss)})
+
+    gram_rows = ds.map_batches(grams, batch_format="pandas")
+
+    def cross_doc_hits(g: pd.DataFrame) -> pd.DataFrame:
+        dup = (g.drop_duplicates(["h1", "h2", "doc"])
+               .groupby(["h1", "h2"], as_index=False)
+               .agg(nd=("doc", "size")))
+        dup = dup.loc[dup["nd"] > 1, ["h1", "h2"]]
+        hits = g.merge(dup, on=["h1", "h2"])
+        return hits[["doc", "pos"]]
+
+    hits = partition_map(gram_rows, ["h1", "h2"], cross_doc_hits,
+                         num_partitions)
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc", "pos"], kind="mergesort")
+        doc = g["doc"].to_numpy(np.int64)
+        pos = g["pos"].to_numpy(np.int64)
+        if not len(doc):
+            return _empty({id_col: np.int64, "span_start": np.int64,
+                           "span_end": np.int64, "span_len": np.int64})
+        brk = np.ones(len(doc), bool)
+        # new island when the doc changes or the gram starts past the
+        # end of the previous interval [prev, prev + k)
+        brk[1:] = (doc[1:] != doc[:-1]) | (pos[1:] > pos[:-1] + k)
+        isle = np.cumsum(brk)
+        f = pd.DataFrame({id_col: doc, "isle": isle, "pos": pos})
+        out = f.groupby([id_col, "isle"], as_index=False).agg(
+            span_start=("pos", "min"), span_end=("pos", "max"))
+        out["span_end"] += k
+        out["span_len"] = out["span_end"] - out["span_start"]
+        return out[[id_col, "span_start", "span_end", "span_len"]]
+
+    return partition_map(hits, ["doc"], merge_spans, num_partitions)

@@ -388,3 +388,65 @@ def test_connected_components_tiers_agree():
         1: 1, 3: 1, 5: 5, 7: 7}
     assert dict(zip(out["doc_id"], out["is_rep"])) == {
         1: 1, 3: 0, 5: 1, 7: 1}
+
+
+def test_rolling_kgram_hash_matches_direct():
+    from nuclei_feature_extraction_ray.functions.hashing import (
+        _RK_BASE1, _RK_BASE2, rolling_kgram_hash128)
+
+    t = "abcabcXabcabc zz abcabc"
+    k = 6
+    h1, h2 = rolling_kgram_hash128(t, k)
+    assert len(h1) == len(t) - k + 1
+    M = 1 << 64
+
+    def direct(g, base):
+        return sum(ord(c) * pow(base, j, M)
+                   for j, c in enumerate(g)) % M
+
+    for i in range(len(h1)):
+        assert int(h1[i]) == direct(t[i:i + k], _RK_BASE1)
+        assert int(h2[i]) == direct(t[i:i + k], _RK_BASE2)
+    # equal grams collide, the pair (h1, h2) separates distinct grams
+    seen = {}
+    for i in range(len(h1)):
+        seen.setdefault(t[i:i + k], set()).add(
+            (int(h1[i]), int(h2[i])))
+    assert all(len(v) == 1 for v in seen.values())
+    assert len({next(iter(v)) for v in seen.values()}) == len(seen)
+    # shorter than k -> empty
+    assert rolling_kgram_hash128("ab", k)[0].size == 0
+
+
+def test_duplicate_spans_planted():
+    """Cross-doc shared substrings produce merged spans; within-doc
+    repetition alone does not; disjoint docs yield nothing."""
+    from nuclei_feature_extraction_ray.stages.dedup import (
+        duplicate_spans)
+
+    shared = "the boilerplate footer text shared by both pages!"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "unique preamble one. " + shared + " tail A",
+            "different intro here::: " + shared + " tail B",
+            # within-doc repeat only — k-gram repeats but in ONE doc
+            "zzqqwwrrttyyuuiioopp" * 3,
+            "completely unrelated content with no overlap at all",
+        ]})
+    out = duplicate_spans(rd.from_pandas(docs), "text", "doc_id",
+                          k=20, num_partitions=4).to_pandas()
+    got = {int(d): (int(s), int(e))
+           for d, s, e in zip(out["doc_id"], out["span_start"],
+                              out["span_end"])}
+    assert set(got) == {1, 2}
+    # each span covers the full shared substring
+    for did, base in ((1, "unique preamble one. "),
+                      (2, "different intro here::: ")):
+        s, e = got[did]
+        lo = len(base)
+        assert s <= lo and e >= lo + len(shared)
+    # spans never exceed doc bounds
+    for did, (s, e) in got.items():
+        assert 0 <= s < e <= len(docs.loc[docs.doc_id == did,
+                                          "text"].iloc[0])
