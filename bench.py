@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "doc_tfidf", "stratified_sample", "quality_rank", "semantic_dedup",
     "source_mix", "seq_pack", "quality_band", "lang_pivot",
     "epoch_shuffle", "dedup_clusters", "topk_per_group", "dup_spans",
+    "lm_score",
 ]
 
 

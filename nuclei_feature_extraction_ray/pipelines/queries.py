@@ -2644,6 +2644,117 @@ def dup_spans(sf_dir: str):
                                      num_partitions=8)
 
 
+@register("lm_score", sql="""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split_regex(trim(text, E' \\t\\n\\r\\f'),
+                                '[ \\t\\n\\r\\f]+') AS w
+      FROM documents WHERE trim(text, E' \\t\\n\\r\\f') <> ''
+    ), words AS (SELECT doc_id, unnest(w) AS term FROM docs),
+    cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+            FROM words GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM words),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM words GROUP BY doc_id, term),
+    contrib AS (
+      SELECT doc_id, tf,
+             CAST(floor(tf * ln(CAST(t AS DOUBLE) / c) * 1000000
+                        + 0.5) AS BIGINT) AS m
+      FROM tf JOIN cnt USING (term) CROSS JOIN tot)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(m) AS BIGINT) AS nll_micro,
+           floor(CAST(sum(m) AS DOUBLE) / sum(tf) / ln(2) + 0.5)
+             / 1000000.0 AS bits_per_token
+    FROM contrib GROUP BY doc_id""")
+def lm_score(sf_dir: str):
+    """CCNet-style language-model quality scoring: per-document
+    negative log-likelihood under the corpus UNIGRAM LM (the cheap,
+    fully-distributable stand-in for the KenLM perplexity filter of
+    Wenzek et al., "CCNet", LREC'20). Low bits/token = repetitive,
+    high = unusual vocabulary — both tails are filter candidates.
+
+    Pass 1 builds the unigram count table exchanging only (term,
+    partial-count) rows + a total-token sentinel; the vocabulary-sized
+    result is broadcast ONCE behind the same 20M-row guard as
+    doc_tfidf. Pass 2 is map-only: per-doc np.unique + searchsorted
+    lookup. Float policy: each (doc, term) contribution becomes
+    INTEGER micro-nats via the identical floor(x*1e6 + 0.5) expression
+    in numpy and SQL, so the per-doc sum is exact integer arithmetic —
+    no fold-order dependence — and the final bits/token is a single
+    deterministic expression over exact integers."""
+    from ..stages.dedup import _tokenize
+    from ..stages.partition import partition_map
+
+    SENTINEL = "\x00total"
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = []
+        for t in _tokenize(b["text"]):
+            if t:
+                toks.extend(t)
+        if not toks:
+            return pd.DataFrame({"term": pd.Series(dtype=object),
+                                 "c": pd.Series(dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, object), return_counts=True)
+        out = pd.DataFrame({"term": u, "c": c.astype(np.int64)})
+        return pd.concat([out, pd.DataFrame(
+            {"term": [SENTINEL],
+             "c": np.asarray([len(toks)], np.int64)})],
+            ignore_index=True)
+
+    def cnt_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", as_index=False).agg(c=("c", "sum"))
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    cnts = partition_map(ds.map_batches(cnt_partial,
+                                        batch_format="pandas"),
+                         ["term"], cnt_combine, 16) \
+        .limit(20_000_001).to_pandas()
+    if len(cnts) > 20_000_000:
+        raise ValueError("lm_score: vocabulary too large to "
+                         "broadcast; apply a min-count cutoff first")
+    total = int(cnts.loc[cnts["term"] == SENTINEL, "c"].iloc[0])
+    cnts = cnts[cnts["term"] != SENTINEL]
+    order = np.argsort(cnts["term"].to_numpy())
+    ref = ray.put((cnts["term"].to_numpy()[order],
+                   cnts["c"].to_numpy(np.int64)[order], total))
+
+    class Score:
+        def __init__(self):
+            self.terms, self.counts, self.total = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ids, ntoks, nlls, bits = [], [], [], []
+            for doc_id, t in zip(b["doc_id"].to_numpy(np.int64),
+                                 _tokenize(b["text"])):
+                if not t:
+                    continue
+                u, tf = np.unique(np.asarray(t, dtype=object),
+                                  return_counts=True)
+                c = self.counts[np.searchsorted(self.terms, u)]
+                m = np.floor(
+                    tf * np.log(np.float64(self.total) / c)
+                    * 1000000 + 0.5).astype(np.int64)
+                nll = int(m.sum())
+                nt = int(tf.sum())
+                ids.append(doc_id)
+                ntoks.append(nt)
+                nlls.append(nll)
+                bits.append(np.floor(
+                    np.float64(nll) / nt / np.log(2.0) + 0.5)
+                    / 1000000.0)
+            return pd.DataFrame({
+                "doc_id": np.asarray(ids, np.int64),
+                "n_tokens": np.asarray(ntoks, np.int64),
+                "nll_micro": np.asarray(nlls, np.int64),
+                "bits_per_token": np.asarray(bits, np.float64)})
+
+    return ds.map_batches(Score, batch_format="pandas", concurrency=2)
+
+
 def all_queries() -> dict:
     return dict(QUERIES)
 
