@@ -52,8 +52,13 @@ BENCH_QUERIES = [
     "pages_domains", "line_dedup", "q3_shipping", "decontaminate",
     "doc_tfidf", "stratified_sample", "quality_rank", "semantic_dedup",
     "source_mix", "seq_pack", "quality_band", "lang_pivot",
-    "epoch_shuffle", "dedup_clusters", "topk_per_group", "dup_spans",
-    "lm_score",
+    "epoch_shuffle", "topk_per_group", "dup_spans",
+    "lm_score", "doc_chunks", "term_postings",
+    # near_dedup_keep is the benched clustering path (LSH candidates);
+    # dedup_clusters is its exact-Jaccard oracle twin and inherits
+    # jaccard_pairs' quadratic pair stage, so it is excluded like
+    # jaccard_pairs itself.
+    "near_dedup_keep",
 ]
 
 

@@ -2755,6 +2755,140 @@ def lm_score(sf_dir: str):
     return ds.map_batches(Score, batch_format="pandas", concurrency=2)
 
 
+@register("doc_chunks", sql="""
+    WITH RECURSIVE idx(i) AS (
+      SELECT CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT i + 1 FROM idx
+      WHERE (i + 1) * 150 < (SELECT max(length(text)) FROM documents)
+    )
+    SELECT d.doc_id, CAST(idx.i AS BIGINT) AS chunk_id,
+           CAST(idx.i * 150 AS BIGINT) AS chunk_start,
+           substring(d.text, CAST(idx.i * 150 AS INTEGER) + 1, 200)
+             AS chunk_text,
+           CAST(least(200, length(d.text) - idx.i * 150) AS BIGINT)
+             AS chunk_chars
+    FROM documents d JOIN idx ON idx.i * 150 < length(d.text)""")
+def doc_chunks(sf_dir: str):
+    """Context-window document chunking: split every doc into
+    200-char windows with 50-char overlap (stride 150) — the
+    long-document splitter that feeds fixed-context training. A pure
+    row-EXPANDING map (flat expansion inside one map_batches): no
+    exchange, no state, each batch independently yields ~n_chars/150
+    rows per doc, so the streaming executor backpressures on output
+    size, never on doc count. Character semantics match SQL
+    substring (the corpus is validated single-code-unit)."""
+    CHUNK, STRIDE = 200, 150
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def chunks(b: pd.DataFrame) -> pd.DataFrame:
+        ids, cids, starts, texts, lens = [], [], [], [], []
+        for did, txt in zip(b["doc_id"].to_numpy(np.int64),
+                            b["text"].to_numpy()):
+            n = len(txt)
+            k = 0
+            for start in range(0, n, STRIDE):
+                piece = txt[start:start + CHUNK]
+                ids.append(did)
+                cids.append(k)
+                starts.append(start)
+                texts.append(piece)
+                lens.append(len(piece))
+                k += 1
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids, np.int64),
+            "chunk_id": np.asarray(cids, np.int64),
+            "chunk_start": np.asarray(starts, np.int64),
+            "chunk_text": pd.Series(texts, dtype=object),
+            "chunk_chars": np.asarray(lens, np.int64)})
+
+    return ds.map_batches(chunks, batch_format="pandas")
+
+
+@register("term_postings", sql="""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split_regex(trim(text, E' \\t\\n\\r\\f'),
+                                '[ \\t\\n\\r\\f]+') AS w
+      FROM documents WHERE trim(text, E' \\t\\n\\r\\f') <> ''
+    ), words AS (SELECT doc_id, unnest(w) AS term FROM docs),
+    dd AS (SELECT DISTINCT term, doc_id FROM words)
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY doc_id) AS postings
+    FROM dd GROUP BY term""")
+def term_postings(sf_dir: str):
+    """Inverted-index build: term -> sorted posting list of doc ids
+    (the IR primitive behind BM25 / keyword retrieval over a corpus).
+    Per-batch DISTINCT (term, doc) pairs collapse before the single
+    term-keyed exchange; each partition then sorts its postings and
+    emits one row per term with the df count and the comma-joined
+    sorted list. Posting lists are the only thing that grows with
+    corpus size — they stay sharded by term (never driver-side), and
+    the string join mirrors the oracle's ORDER BY string_agg exactly.
+    At web scale hot terms (stopwords) get long lists: the documented
+    mitigation is a df cutoff (drop terms above max_df, as
+    jaccard_pairs does) — retrieval never scans stopword postings."""
+    from ..stages.dedup import _tokenize
+    from ..stages.partition import partition_map
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        terms, dids = [], []
+        for did, t in zip(b["doc_id"].to_numpy(np.int64),
+                          _tokenize(b["text"])):
+            if not t:
+                continue
+            u = np.unique(np.asarray(t, dtype=object))
+            terms.append(u)
+            dids.append(np.full(len(u), did, np.int64))
+        if not terms:
+            return pd.DataFrame({"term": pd.Series(dtype=object),
+                                 "doc_id": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"term": np.concatenate(terms),
+                             "doc_id": np.concatenate(dids)})
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["term", "doc_id"]) \
+            .sort_values(["term", "doc_id"], kind="mergesort")
+        out = g.groupby("term", as_index=False).agg(
+            df=("doc_id", "size"),
+            postings=("doc_id",
+                      lambda s: ",".join(map(str, s))))
+        out["df"] = out["df"].astype(np.int64)
+        return out
+
+    return partition_map(ds.map_batches(pairs, batch_format="pandas"),
+                         ["term"], build, 16)
+
+
+@register("near_dedup_keep")  # probabilistic candidates -> rows-only
+def near_dedup_keep(sf_dir: str):
+    """The SCALE-PATH near-dedup decision pipeline end-to-end:
+    MinHash+LSH candidate pairs (constant work per doc, signatures
+    only across the exchange) -> distributed connected components ->
+    (doc_id, cluster, is_rep) keep flags for every document. This is
+    the composition a 100 TB dedup actually runs; ``dedup_clusters``
+    is its exact-Jaccard twin whose pair stage is quadratic by design
+    (it exists for the SQL oracle). Probabilistic candidates make
+    this rows-only in the driver gate; determinism and the exact twin
+    are covered by pytest + the dedup_clusters oracle."""
+    from ..stages.graph import attach_clusters, connected_components
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    pairs = dedup_mod.minhash_lsh_pairs(ds, "text", "doc_id",
+                                        ngram=JACCARD_NGRAM,
+                                        threshold=0.2)
+    cc = connected_components(pairs, "a", "b", num_partitions=8)
+    ids = rd.read_parquet(_path(sf_dir, "documents"),
+                          columns=["doc_id"])
+    return attach_clusters(ids, cc, "doc_id", num_partitions=8)
+
+
 def all_queries() -> dict:
     return dict(QUERIES)
 
