@@ -11,16 +11,15 @@ itself and its neighbors; converged when no label changes. Labels and
 edges only ever move through hash exchanges keyed on node id — no
 driver-side graph, no broadcast of anything node-sized.
 
-Scale shape per round: TWO keyed exchanges over edge-sized data
-(labels->edges co-partition to emit messages, then messages->labels
-co-partition to fold the min), each via ``partition_map``. Rounds =
-graph diameter; near-dup components are overwhelmingly tiny cliques
-(diameter 1-2), so 3-4 rounds in practice. For adversarial long-chain
-graphs the documented upgrade is the large-star/small-star rewrite
-(Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14), which converges in O(log n) rounds with the SAME two-
-exchange round shape — the propagation loop below is the shared
-skeleton. ``max_rounds`` is a loud guard, not a silent truncation.
+Three implementations, one contract (pytest asserts pairwise
+agreement): a guarded driver union-find for pair lists that fit, the
+large-star/small-star alternating loop (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — O(log n) rounds on ANY
+graph shape, the scale default), and plain min-label propagation
+(rounds = component diameter; kept as the simple reference
+implementation). Every distributed round is keyed exchanges over
+edge-sized rows; the driver sees only per-block checksum partials.
+``max_rounds`` is a loud guard, not a silent truncation.
 """
 
 from __future__ import annotations
@@ -68,22 +67,157 @@ def _union_find(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
                          "label": nodes[roots].astype(np.int64)})
 
 
+def _fingerprint(ds) -> tuple:
+    """(row count, two independent uint64 checksums) of an edge
+    Dataset — the convergence test for the star loop. Per-batch
+    partials only reach the driver (one row per block); a colliding
+    non-equal edge set needs a simultaneous 2^-128 double-collision."""
+    C1, C2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
+    C3, C4 = np.uint64(0xFF51AFD7ED558CCD), np.uint64(0x2545F4914F6CDD1D)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["x"].to_numpy(np.int64).astype(np.uint64)
+        y = b["y"].to_numpy(np.int64).astype(np.uint64)
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        return pd.DataFrame({
+            "n": np.asarray([len(b)], np.int64),
+            "c1": np.asarray([np.sum((lo * C1) ^ (hi * C2))], np.uint64),
+            "c2": np.asarray([np.sum((lo * C3) ^ (hi * C4))], np.uint64)})
+
+    p = ds.map_batches(part, batch_format="pandas").to_pandas()
+    return (int(p["n"].sum()),
+            int(p["c1"].to_numpy(np.uint64).sum()),
+            int(p["c2"].to_numpy(np.uint64).sum()))
+
+
+def _star_loop(edges_ds, a_col: str, b_col: str, num_partitions: int,
+               max_rounds: int):
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): converges in O(log n) rounds on ANY graph — including
+    the long-chain adversarial case where plain min-label propagation
+    needs diameter rounds. Each half-round is ONE keyed exchange over
+    edge-sized rows; the driver sees only per-block checksum partials.
+
+    large-star(v): m = min(N(v) + {v}); re-point every neighbor u > v
+    at m. small-star(v over larger endpoints): re-point all (smaller)
+    neighbors and v itself at m. Fixpoint = min-rooted stars."""
+    import ray.data as rd
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[a_col].to_numpy(np.int64)
+        y = b[b_col].to_numpy(np.int64)
+        keep = x != y                       # self-loops: singleton info,
+        return pd.DataFrame({"x": x[keep],  # re-attached at label time
+                             "y": y[keep]})
+
+    def selfloops(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[a_col].to_numpy(np.int64)
+        y = b[b_col].to_numpy(np.int64)
+        s = x[x == y]
+        return pd.DataFrame({"x": s, "y": s})
+
+    E = edges_ds.map_batches(canon, batch_format="pandas").materialize()
+    loops = edges_ds.map_batches(
+        selfloops, batch_format="pandas").materialize()
+
+    def both_orient(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["x"].to_numpy(np.int64)
+        y = b["y"].to_numpy(np.int64)
+        return pd.DataFrame({"key": np.concatenate([x, y]),
+                             "val": np.concatenate([y, x])})
+
+    def large(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["key"].to_numpy(np.int64)
+        u = g["val"].to_numpy(np.int64)
+        m = np.minimum(
+            g.groupby("key")["val"].transform("min")
+             .to_numpy(np.int64), v)
+        sel = u > v
+        return pd.DataFrame({"x": u[sel], "y": m[sel]}) \
+            .drop_duplicates()
+
+    def max_orient(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["x"].to_numpy(np.int64)
+        y = b["y"].to_numpy(np.int64)
+        return pd.DataFrame({"key": np.maximum(x, y),
+                             "val": np.minimum(x, y)})
+
+    def small(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["key"].to_numpy(np.int64)
+        u = g["val"].to_numpy(np.int64)
+        m = g.groupby("key")["val"].transform("min") \
+            .to_numpy(np.int64)             # all vals < key, so m = min
+        sel = u != m
+        out = pd.concat([
+            pd.DataFrame({"x": u[sel], "y": m[sel]}),
+            pd.DataFrame({"x": v, "y": m})])
+        return out.drop_duplicates()
+
+    prev = None
+    for _ in range(max_rounds):
+        E = partition_map(
+            E.map_batches(both_orient, batch_format="pandas"),
+            ["key"], large, num_partitions).materialize()
+        E = partition_map(
+            E.map_batches(max_orient, batch_format="pandas"),
+            ["key"], small, num_partitions).materialize()
+        fp = _fingerprint(E)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(
+            "star connected components: no convergence in %d rounds "
+            "(bound is O(log n) — raise max_rounds)" % max_rounds)
+
+    # Fixpoint edges are (child, root) stars; emit (node, label) for
+    # children and roots, plus self-loop singletons, deduped per node.
+    def mklab(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["x"].to_numpy(np.int64)
+        y = b["y"].to_numpy(np.int64)
+        root = np.minimum(x, y)
+        child = np.maximum(x, y)
+        return pd.DataFrame({
+            "key": np.concatenate([child, root]),
+            "val": np.concatenate([root, root])})
+
+    def dedup_lab(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("key", as_index=False)["val"].min()
+        return pd.DataFrame({"node": out["key"].to_numpy(np.int64),
+                             "label": out["val"].to_numpy(np.int64)})
+
+    lab_in = E.union(loops).map_batches(mklab, batch_format="pandas")
+    return partition_map(lab_in, ["key"], dedup_lab,
+                         num_partitions).materialize()
+
+
 def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
                          num_partitions: int = 8,
                          max_rounds: int = 64,
-                         max_driver_edges: int = 5_000_000):
+                         max_driver_edges: int = 5_000_000,
+                         method: str = "auto"):
     """``edges_ds``: Dataset with two int64 node columns. Returns a
     MATERIALIZED Dataset ``(node, label)`` covering every node that
     appears in an edge, ``label`` = min node id of its component.
     Deterministic and retry-idempotent (min is idempotent).
 
-    Two tiers, same results (asserted equal in pytest):
-    * edge count <= ``max_driver_edges``: near-dup pair lists are tiny
-      relative to the corpus, so a driver union-find (guarded, like
-      every driver combine in this repo) beats paying the per-round
-      exchange overhead;
-    * above the guard: the distributed min-label propagation loop —
-      nothing edge- or node-sized ever sits on the driver."""
+    ``method``:
+    * ``"auto"`` (default): edge count <= ``max_driver_edges`` ->
+      driver union-find (near-dup pair lists are tiny relative to the
+      corpus, and the guard bounds the driver like every driver
+      combine in this repo); above the guard -> the large-star/
+      small-star loop (O(log n) rounds on any graph shape, nothing
+      edge- or node-sized ever on the driver);
+    * ``"star"``: force the distributed star loop;
+    * ``"label"``: force the plain min-label propagation loop —
+      rounds = component diameter, loud ``max_rounds`` guard; kept as
+      the simpler reference implementation (tier agreement is
+      asserted in pytest)."""
+    if method == "star":
+        return _star_loop(edges_ds, a_col, b_col, num_partitions,
+                          max_rounds)
 
     def undirect(b: pd.DataFrame) -> pd.DataFrame:
         a = b[a_col].to_numpy(np.int64)
@@ -96,13 +230,26 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
         undirect, batch_format="pandas").materialize()
 
     n_edges = edges.count() // 2
-    if n_edges <= max_driver_edges:
+    if method == "auto" and n_edges <= max_driver_edges:
         pairs = edges.to_pandas()            # guarded: fits by the tier test
         half = pairs[pairs["key"] < pairs["val"]]
         labels = _union_find(half["key"].to_numpy(np.int64),
                              half["val"].to_numpy(np.int64))
+        # pure self-loop nodes carry no union edge but are still part
+        # of the node set — their own singleton component
+        selfn = np.setdiff1d(
+            pairs.loc[pairs["key"] == pairs["val"], "key"]
+                 .to_numpy(np.int64), labels["node"].to_numpy())
+        if len(selfn):
+            labels = pd.concat([labels, pd.DataFrame(
+                {"node": selfn, "label": selfn})], ignore_index=True)
         import ray.data as rd
         return rd.from_pandas(labels).materialize()
+    if method == "auto":
+        return _star_loop(edges_ds, a_col, b_col, num_partitions,
+                          max_rounds)
+    if method != "label":
+        raise ValueError("method must be auto|star|label: %r" % method)
 
     def init_labels(g: pd.DataFrame) -> pd.DataFrame:
         nodes = np.unique(g["key"].to_numpy(np.int64))

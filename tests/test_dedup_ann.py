@@ -361,24 +361,27 @@ def test_semantic_dedup_prunes_planted_dups():
 
 
 def test_connected_components_tiers_agree():
-    """Driver union-find tier == distributed min-label propagation
-    tier, on a graph with a chain (1-2-3), a self-loop (9-9), a
-    cross-component bridge (9-1), and an isolated pair (5-6)."""
+    """Driver union-find == star loop == min-label loop, on a graph
+    with a chain (1-2-3), a self-loop (9-9), a cross-component bridge
+    (9-1), an isolated pair (5-6), and a PURE self-loop node (77)."""
     from nuclei_feature_extraction_ray.stages.graph import (
         attach_clusters, connected_components)
 
     edges = rd.from_pandas(pd.DataFrame(
-        {"a": [1, 2, 5, 9, 9], "b": [2, 3, 6, 9, 1]}))
+        {"a": [1, 2, 5, 9, 9, 77], "b": [2, 3, 6, 9, 1, 77]}))
 
     def norm(df):
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    lo = norm(connected_components(edges, max_driver_edges=0)
-              .to_pandas())
-    hi = norm(connected_components(edges).to_pandas())
-    pd.testing.assert_frame_equal(lo, hi)
-    assert dict(zip(hi["node"], hi["label"])) == {
-        1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+    uf = norm(connected_components(edges).to_pandas())
+    star = norm(connected_components(edges, method="star")
+                .to_pandas())
+    lab = norm(connected_components(edges, method="label",
+                                    max_driver_edges=0).to_pandas())
+    pd.testing.assert_frame_equal(uf, star)
+    pd.testing.assert_frame_equal(uf, lab)
+    assert dict(zip(uf["node"], uf["label"])) == {
+        1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 77: 77}
 
     # singletons resolved by the attach join: 7 absent from edges
     ids = rd.from_pandas(pd.DataFrame({"doc_id": [1, 3, 5, 7]}))
@@ -450,3 +453,77 @@ def test_duplicate_spans_planted():
     for did, (s, e) in got.items():
         assert 0 <= s < e <= len(docs.loc[docs.doc_id == did,
                                           "text"].iloc[0])
+
+
+def test_duplicate_spans_matches_bruteforce():
+    """Randomized corpora (3 seeds): engine output == O(n^2)
+    substring-search reference (positions whose k-gram occurs in
+    another doc, merged into maximal intervals)."""
+    from nuclei_feature_extraction_ray.stages.dedup import (
+        duplicate_spans)
+
+    for seed in (0, 1, 2):
+        _check_duplicate_spans_seed(seed)
+
+
+def _check_duplicate_spans_seed(seed):
+    from nuclei_feature_extraction_ray.stages.dedup import (
+        duplicate_spans)
+
+    rng = np.random.default_rng(seed)
+    words = ["aa", "bob", "cat", "dd", "eel", "fig", "go", "hat"]
+    texts = []
+    for _ in range(12):
+        n = int(rng.integers(0, 30))
+        texts.append(" ".join(rng.choice(words, n)))
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts)),
+                         "text": texts})
+    k = 8
+    out = duplicate_spans(rd.from_pandas(docs), "text", "doc_id",
+                          k=k, num_partitions=4).to_pandas()
+    got = sorted(map(tuple, out[["doc_id", "span_start",
+                                 "span_end"]].to_numpy()))
+
+    want = []
+    for i, t in enumerate(texts):
+        dup_pos = [p for p in range(len(t) - k + 1)
+                   if any(t[p:p + k] in o
+                          for j, o in enumerate(texts) if j != i)]
+        spans = []
+        for p in dup_pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k)
+            else:
+                spans.append([p, p + k])
+        want.extend((i, s, e) for s, e in spans)
+    assert got == sorted(want)
+
+
+def test_star_components_long_chain_log_rounds():
+    """A 200-node path has diameter 199: min-label needs ~200 rounds,
+    the star loop must finish within O(log n) — max_rounds=16 would
+    raise loudly if it didn't. Also: a random graph agrees with the
+    driver union-find."""
+    from nuclei_feature_extraction_ray.stages.graph import (
+        connected_components)
+
+    n = 200
+    chain = rd.from_pandas(pd.DataFrame(
+        {"a": np.arange(n - 1) + 1000, "b": np.arange(1, n) + 1000}))
+    out = connected_components(chain, method="star", max_rounds=16,
+                               num_partitions=4).to_pandas()
+    assert len(out) == n
+    assert (out["label"] == 1000).all()
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 60, 80)
+    b = rng.integers(0, 60, 80)
+    g = rd.from_pandas(pd.DataFrame({"a": a, "b": b}))
+
+    def norm(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    uf = norm(connected_components(g).to_pandas())
+    star = norm(connected_components(g, method="star",
+                                     num_partitions=4).to_pandas())
+    pd.testing.assert_frame_equal(uf, star)
