@@ -2889,6 +2889,62 @@ def near_dedup_keep(sf_dir: str):
     return attach_clusters(ids, cc, "doc_id", num_partitions=8)
 
 
+@register("cust_no_orders", sql="""
+    SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)""")
+def cust_no_orders(sf_dir: str):
+    """Distributed ANTI-join (TPC-H Q22 flavor): customers with no
+    high-value (>300k) order. Large-large shape: BOTH sides stream key-partials into ONE
+    co-partitioning exchange on custkey — the orders side collapses to
+    DISTINCT custkeys per batch before shuffling (8-byte keys, never
+    order rows), then each partition anti-merges vectorized. No
+    broadcast (either side may be huge at scale), no driver
+    materialization. The semi-join is the same plan with the filter
+    flipped (region_orders covers the broadcast-small-side variant).
+    acctbal crosses engines as exact integer cents (repo float
+    policy)."""
+    from ..stages.partition import partition_map
+
+    cust = rd.read_parquet(_path(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+    orders = rd.read_parquet(_path(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def cust_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["c_custkey"].to_numpy(np.int64),
+            "c_nationkey": b["c_nationkey"].to_numpy(np.int64),
+            "acctbal_cents": np.round(
+                b["c_acctbal"].to_numpy() * 100).astype(np.int64),
+            "side": np.zeros(len(b), np.int64)})
+
+    def order_keys(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_totalprice"].to_numpy() > 300000]
+        k = np.unique(b["o_custkey"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "key": k,
+            "c_nationkey": np.zeros(len(k), np.int64),
+            "acctbal_cents": np.zeros(len(k), np.int64),
+            "side": np.ones(len(k), np.int64)})
+
+    both = cust.map_batches(cust_rows, batch_format="pandas").union(
+        orders.map_batches(order_keys, batch_format="pandas"))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        has = g.loc[g["side"] == 1, "key"].to_numpy(np.int64)
+        c = g[g["side"] == 0]
+        keep = ~np.isin(c["key"].to_numpy(np.int64), has)
+        out = c.loc[keep, ["key", "c_nationkey", "acctbal_cents"]]
+        return out.rename(columns={"key": "c_custkey"})
+
+    return partition_map(both, ["key"], anti, 16)
+
+
 def all_queries() -> dict:
     return dict(QUERIES)
 
