@@ -58,7 +58,7 @@ BENCH_QUERIES = [
     # dedup_clusters is its exact-Jaccard oracle twin and inherits
     # jaccard_pairs' quadratic pair stage, so it is excluded like
     # jaccard_pairs itself.
-    "near_dedup_keep", "cust_no_orders",
+    "near_dedup_keep", "cust_no_orders", "corpus_curation",
 ]
 
 

@@ -2682,12 +2682,18 @@ def lm_score(sf_dir: str):
     in numpy and SQL, so the per-doc sum is exact integer arithmetic —
     no fold-order dependence — and the final bits/token is a single
     deterministic expression over exact integers."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    return _lm_scores(ds)
+
+
+def _lm_scores(ds):
+    """lm_score's engine body over any (doc_id, text) Dataset — shared
+    with corpus_curation, whose LM is fit on the deduped corpus."""
     from ..stages.dedup import _tokenize
     from ..stages.partition import partition_map
 
     SENTINEL = "\x00total"
-    ds = rd.read_parquet(_path(sf_dir, "documents"),
-                         columns=["doc_id", "text"])
 
     def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
         toks = []
@@ -2753,6 +2759,92 @@ def lm_score(sf_dir: str):
                 "bits_per_token": np.asarray(bits, np.float64)})
 
     return ds.map_batches(Score, batch_format="pandas", concurrency=2)
+
+
+@register("corpus_curation", sql="""
+    WITH kept AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    ), kdocs AS (
+      SELECT d.doc_id,
+             string_split_regex(trim(d.text, E' \\t\\n\\r\\f'),
+                                '[ \\t\\n\\r\\f]+') AS w
+      FROM documents d JOIN kept USING (doc_id)
+      WHERE trim(d.text, E' \\t\\n\\r\\f') <> ''
+    ), words AS (SELECT doc_id, unnest(w) AS term FROM kdocs),
+    cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+            FROM words GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM words),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM words GROUP BY doc_id, term),
+    contrib AS (
+      SELECT doc_id, tf,
+             CAST(floor(tf * ln(CAST(t AS DOUBLE) / c) * 1000000
+                        + 0.5) AS BIGINT) AS m
+      FROM tf JOIN cnt USING (term) CROSS JOIN tot),
+    scored AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             floor(CAST(sum(m) AS DOUBLE) / sum(tf) / ln(2) + 0.5)
+               / 1000000.0 AS bits_per_token
+      FROM contrib GROUP BY doc_id),
+    q AS (SELECT quantile_cont(bits_per_token, 0.05) AS lo,
+                 quantile_cont(bits_per_token, 0.95) AS hi
+          FROM scored)
+    SELECT doc_id, n_tokens, bits_per_token
+    FROM scored, q
+    WHERE bits_per_token >= q.lo AND bits_per_token <= q.hi""")
+def corpus_curation(sf_dir: str):
+    """End-to-end curation composition over documents — the
+    three-stage pass a training corpus actually gets: (1) EXACT dedup
+    (128-bit content hash, min-id winner), (2) unigram-LM scoring fit
+    on the DEDUPED corpus (``_lm_scores`` — integer micro-nat float
+    policy), (3) perplexity band-pass keeping [P5, P95] of
+    bits/token (both tails are junk: boilerplate repetition below,
+    lexical noise above — the CCNet/Gopher filter shape).
+
+    Scale accounting: one 16-byte-key exchange (dedup) + one (term,
+    count) exchange (LM fit) + a value-histogram threshold pass
+    (bounded by DISTINCT score values, broadcast comparison) — the
+    full corpus text never crosses a shuffle and the driver sees only
+    the guarded vocab and histogram combines. Fully SQL-oracled:
+    every stage is deterministic, so the composition stays bit-exact
+    through all three stages."""
+    docs = rd.read_parquet(_path(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+    kept = dedup_mod.exact_dedup(docs, "text", "doc_id",
+                                 keep_content=True) \
+        .select_columns(["doc_id", "text"])
+    scored = _lm_scores(kept).materialize()
+
+    def vc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("bits_per_token", as_index=False).agg(
+            n=("bits_per_token", "size"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    hist = _combine_partials(
+        scored.map_batches(vc_partial, batch_format="pandas"),
+        ["bits_per_token"], ["n"]) \
+        .sort_values("bits_per_token", kind="mergesort")
+    vals = hist["bits_per_token"].to_numpy(np.float64)
+    cum = np.cumsum(hist["n"].to_numpy(np.int64))
+    n = int(cum[-1])
+
+    def q_cont(q: float) -> float:
+        # DuckDB quantile_cont (same derivation as quality_band)
+        h = (n - 1) * q
+        i = int(np.floor(h))
+        lo = vals[np.searchsorted(cum, i + 1)]
+        hi = vals[np.searchsorted(cum, min(i + 2, n))]
+        return float(lo + (hi - lo) * (h - np.floor(h)))
+
+    lo, hi = q_cont(0.05), q_cont(0.95)
+
+    def band(batch: pa.Table) -> pa.Table:
+        b = batch["bits_per_token"].to_numpy(zero_copy_only=False)
+        out = batch.filter(pa.array((b >= lo) & (b <= hi)))
+        return out.select(["doc_id", "n_tokens", "bits_per_token"])
+
+    return scored.map_batches(band, batch_format="pyarrow")
 
 
 @register("doc_chunks", sql="""

@@ -527,3 +527,28 @@ def test_star_components_long_chain_log_rounds():
     star = norm(connected_components(g, method="star",
                                      num_partitions=4).to_pandas())
     pd.testing.assert_frame_equal(uf, star)
+
+
+def test_near_dedup_keep_planted(tmp_path):
+    """The scale-path composition (LSH pairs -> CC -> keep flags)
+    groups planted near-dups under the min doc id and keeps exactly
+    one representative per cluster."""
+    import pyarrow.parquet as pq
+    from nuclei_feature_extraction_ray.pipelines.queries import QUERIES
+
+    tbl = _docs_with_near_dups()
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = QUERIES["near_dedup_keep"](str(tmp_path)).to_pandas()
+
+    assert len(out) == tbl.num_rows            # every doc labeled
+    cl = dict(zip(out["doc_id"], out["cluster"]))
+    rep = dict(zip(out["doc_id"], out["is_rep"]))
+    # planted near-dups + the exact dup join their source's cluster
+    for src, dup in ((0, 100), (5, 101), (10, 102), (1, 200)):
+        assert cl[dup] == cl[src] == src
+        assert rep[src] == 1 and rep[dup] == 0
+    # empty docs are their own singletons (never pair)
+    assert cl[300] == 300 and cl[301] == 301 and rep[300] == 1
+    # exactly one representative per cluster
+    g = out.groupby("cluster")["is_rep"].sum()
+    assert (g == 1).all()
