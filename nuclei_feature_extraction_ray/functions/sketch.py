@@ -162,3 +162,57 @@ def hist_quantile(counts: np.ndarray, lo: float, hi: float,
     frac = (rank - prev) / in_bin if in_bin > 0 else 0.5
     w = (hi - lo) / len(counts)
     return float(lo + (b + frac) * w)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: broadcastable membership at fixed memory
+# ---------------------------------------------------------------------------
+
+def bloom_positions(h: np.ndarray, m_bits: int,
+                    k: int) -> np.ndarray:
+    """(n, k) bit positions via Kirsch-Mitzenmacher double hashing:
+    pos_i = (h1 + i*h2) mod m. h2 derives from h with a splitmix64
+    finalizer so the two streams are independent; h2 is forced odd so
+    it cycles the full (power-of-two) table."""
+    h1 = np.asarray(h, np.uint64)
+    z = (h1 + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h2 = (z ^ (z >> np.uint64(31))) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(m_bits))
+
+
+def bloom_partial(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Bitmap partial (uint8 array of m_bits/8) for one batch of
+    64-bit element hashes — OR-mergeable, so the distributed build is
+    per-batch partials tree-merged exactly like the HLL registers."""
+    bmp = np.zeros(m_bits >> 3, np.uint8)
+    if len(h):
+        pos = bloom_positions(h, m_bits, k).ravel()
+        np.bitwise_or.at(bmp, (pos >> np.uint64(3)).astype(np.int64),
+                         np.left_shift(
+                             np.uint8(1),
+                             (pos & np.uint64(7)).astype(np.uint8)))
+    return bmp
+
+
+def bloom_merge(parts: list[np.ndarray]) -> np.ndarray:
+    out = parts[0].copy()
+    for p in parts[1:]:
+        np.bitwise_or(out, p, out=out)
+    return out
+
+
+def bloom_contains(bmp: np.ndarray, h: np.ndarray,
+                   k: int) -> np.ndarray:
+    """Vectorized membership probe: True where ALL k bits are set
+    (no false negatives; false-positive rate ~ (1 - e^{-kn/m})^k)."""
+    if not len(h):
+        return np.zeros(0, bool)
+    m_bits = len(bmp) << 3
+    pos = bloom_positions(h, m_bits, k)
+    byte = (pos >> np.uint64(3)).astype(np.int64)
+    bit = (pos & np.uint64(7)).astype(np.uint8)
+    return ((bmp[byte] >> bit) & 1).all(axis=1)

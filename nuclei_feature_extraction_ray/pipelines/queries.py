@@ -2847,6 +2847,173 @@ def corpus_curation(sf_dir: str):
     return scored.map_batches(band, batch_format="pyarrow")
 
 
+@register("oov_rate", sql="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(
+               trim(text, E' \\t\\n\\r\\f'), '[ \\t\\n\\r\\f]+')) AS token
+      FROM documents
+      WHERE trim(text, E' \\t\\n\\r\\f') <> ''
+    ), vocab AS (
+      SELECT token FROM toks GROUP BY token
+      ORDER BY count(*) DESC, token LIMIT 25
+    ), words AS (
+      SELECT doc_id, unnest(string_split_regex(
+               trim(text, E' \\t\\n\\r\\f'), '[ \\t\\n\\r\\f]+')) AS token
+      FROM documents
+      WHERE trim(text, E' \\t\\n\\r\\f') <> ''
+    )
+    SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS oov_rate
+    FROM words w LEFT JOIN vocab v USING (token)
+    GROUP BY w.doc_id""")
+def oov_rate(sf_dir: str):
+    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary
+    token fraction against the corpus top-25 vocabulary — the
+    coverage check run before committing to a tokenizer vocab. Pass 1
+    is vocab_topk's partial-count exchange (only (token, count) rows
+    move, partial top-k per partition); the tiny vocab broadcasts
+    once; pass 2 is map-only np.isin per doc. The rate is one exact
+    int/int division, so floats match the oracle bit-for-bit."""
+    import re as _re
+
+    from ..functions.text_stats import WS_CLASS
+    from ..stages.dedup import _tokenize
+    from ..stages.partition import partition_map
+    ws_re = _re.compile(WS_CLASS + "+")
+    K = 25
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in _tokenize(batch["text"]):
+            toks.extend(t)
+        if not toks:
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        uniq, counts = np.unique(np.asarray(toks, object),
+                                 return_counts=True)
+        return pd.DataFrame({"token": uniq,
+                             "n": counts.astype(np.int64)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        out = out.sort_values(["n", "token"], ascending=[False, True],
+                              kind="mergesort")
+        return out.head(K)
+
+    parts = partition_map(ds.map_batches(explode,
+                                         batch_format="pandas"),
+                          ["token"], combine, 16).to_pandas()
+    vocab = parts.sort_values(["n", "token"],
+                              ascending=[False, True],
+                              kind="mergesort").head(K)
+    vref = ray.put(np.sort(vocab["token"].to_numpy(object)))
+
+    class Rate:
+        def __init__(self):
+            self.vocab = ray.get(vref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ids, nts, oovs = [], [], []
+            for doc_id, t in zip(b["doc_id"].to_numpy(np.int64),
+                                 _tokenize(b["text"])):
+                if not t:
+                    continue
+                arr = np.asarray(t, dtype=object)
+                oov = int((~np.isin(arr, self.vocab)).sum())
+                ids.append(doc_id)
+                nts.append(len(arr))
+                oovs.append(oov)
+            nts = np.asarray(nts, np.int64)
+            oovs = np.asarray(oovs, np.int64)
+            return pd.DataFrame({
+                "doc_id": np.asarray(ids, np.int64),
+                "n_tokens": nts,
+                "n_oov": oovs,
+                "oov_rate": oovs.astype(np.float64) / nts})
+
+    return ds.map_batches(Rate, batch_format="pandas", concurrency=2)
+
+
+@register("decontaminate_bloom")  # Bloom membership -> rows-only
+def decontaminate_bloom(sf_dir: str):
+    """``decontaminate``'s fixed-memory scale tier: benchmark gram
+    membership via a BLOOM FILTER instead of the exact broadcast gram
+    array. The filter is built DISTRIBUTED — per-batch 16 KiB bitmap
+    partials (``functions.sketch.bloom_partial``) OR-merged like the
+    HLL registers — then broadcast once (128 KiB here vs the unbounded
+    exact gram set). No false negatives, so ``contaminated`` is a
+    SUPERSET of the exact tier's (asserted in pytest with the FPP
+    bound); at web scale you size m from a first-pass gram count.
+    Probabilistic membership -> rows-only in the driver gate; the
+    exact tier IS SQL-oracled."""
+    from ..functions.hashing import hash64
+    from ..functions.sketch import (bloom_contains, bloom_merge,
+                                    bloom_partial)
+    from ..stages.dedup import _tokenize
+
+    M_BITS, K = 1 << 20, 7
+
+    def grams_of(toks: list[str]) -> np.ndarray:
+        if not toks:
+            return np.empty(0, dtype=object)
+        if len(toks) < 3:
+            return np.asarray([" ".join(toks)], dtype=object)
+        return np.unique(np.asarray(
+            [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)],
+            dtype=object))
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def bench_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"] % 97 == 0]
+        gs = [grams_of(t) for t in _tokenize(b["text"])]
+        gs = [g for g in gs if len(g)]
+        h = (hash64(np.concatenate(gs)) if gs
+             else np.empty(0, np.uint64))
+        return pd.DataFrame(
+            {"bmp": [bloom_partial(h, M_BITS, K).tobytes()]})
+
+    parts = ds.map_batches(bench_partial,
+                           batch_format="pandas") \
+        .limit(100_000).to_pandas()
+    bmp = bloom_merge([np.frombuffer(p, np.uint8)
+                       for p in parts["bmp"]])
+    bref = ray.put(bmp)
+
+    class Mark:
+        def __init__(self):
+            self.bmp = ray.get(bref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            keep, hits = [], []
+            for t in _tokenize(b["text"]):
+                if not t:
+                    keep.append(False)
+                    hits.append(0)
+                    continue
+                keep.append(True)
+                g = grams_of(t)
+                hits.append(int(bloom_contains(
+                    self.bmp, hash64(g), K).sum()))
+            out = pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_hits": np.asarray(hits, np.int64)})[
+                    np.asarray(keep)]
+            out["is_benchmark"] = (out["doc_id"] % 97 == 0)
+            out["contaminated"] = out["n_hits"] > 0
+            return out[["doc_id", "is_benchmark", "n_hits",
+                        "contaminated"]]
+
+    return ds.map_batches(Mark, batch_format="pandas", concurrency=2)
+
+
 @register("doc_chunks", sql="""
     WITH RECURSIVE idx(i) AS (
       SELECT CAST(0 AS BIGINT)

@@ -170,3 +170,41 @@ def test_hist_quantile_accuracy_and_edges():
     h2 = hist_partial(np.array([-5.0, 1e9]), lo, hi, nbins)
     assert h2[0] == 1 and h2[-1] == 1
     assert np.isnan(hist_quantile(np.zeros(nbins, np.int64), lo, hi, .5))
+
+
+def test_bloom_filter_kernels():
+    """No false negatives ever; FPP stays near the analytic bound."""
+    from nuclei_feature_extraction_ray.functions.hashing import hash64
+    from nuclei_feature_extraction_ray.functions.sketch import (
+        bloom_contains, bloom_merge, bloom_partial)
+
+    members = np.asarray(["m%d" % i for i in range(5000)], object)
+    others = np.asarray(["x%d" % i for i in range(20000)], object)
+    M, K = 1 << 17, 7
+    hm = hash64(members)
+    parts = [bloom_partial(hm[i::4], M, K) for i in range(4)]
+    bmp = bloom_merge(parts)
+    assert bloom_contains(bmp, hm, K).all()
+    # n/m = 5000/131072 -> analytic fpp ~ 4e-5; allow 100x slack
+    assert bloom_contains(bmp, hash64(others), K).mean() < 4e-3
+    # merge == single-shot build
+    np.testing.assert_array_equal(bmp, bloom_partial(hm, M, K))
+    assert bloom_contains(bmp, np.empty(0, np.uint64), K).size == 0
+
+
+def test_decontaminate_bloom_superset_of_exact(sf_small):
+    """The Bloom tier never misses a contaminated doc and matches the
+    exact tier's hit counts within the FPP budget."""
+    from nuclei_feature_extraction_ray.pipelines.queries import QUERIES
+
+    exact = QUERIES["decontaminate"](sf_small).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    bloom = QUERIES["decontaminate_bloom"](sf_small).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (exact["doc_id"] == bloom["doc_id"]).all()
+    # no false negatives: every exact hit is a bloom hit
+    assert (bloom["n_hits"] >= exact["n_hits"]).all()
+    assert bool((bloom["contaminated"] >=
+                 exact["contaminated"]).all())
+    # false positives bounded: at this m/n the tiers agree exactly
+    assert (bloom["n_hits"] == exact["n_hits"]).mean() > 0.99
