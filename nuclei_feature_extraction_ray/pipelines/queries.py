@@ -2959,6 +2959,49 @@ def oov_rate(sf_dir: str):
     return ds.map_batches(Rate, batch_format="pandas", concurrency=2)
 
 
+@register("near_dedup_keep_md5", sql="""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      SELECT a, b FROM ({mh}) mp
+    ), edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION SELECT b, a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster,
+           CAST(CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS BIGINT)
+               AS is_rep
+    FROM reach GROUP BY src""")
+def near_dedup_keep_md5(sf_dir: str):
+    """``near_dedup_keep`` with the PORTABLE md5 shingle hash: the
+    SAME MinHash+LSH -> connected-components -> keep-flag composition
+    the production dedup runs, but with every hash reproducible in
+    DuckDB — so even the LSH clustering path gets a full bit-exact
+    driver oracle (recursive closure over the minhash_pairs_md5 SQL).
+    Between this, ``dedup_clusters`` (exact-Jaccard twin) and
+    ``near_dedup_keep`` (fast in-engine hash), every tier of the
+    near-dedup decision pipeline is either SQL-oracled or
+    pytest-pinned to an oracled twin."""
+    from ..functions.hashing import md5_shingles
+    from ..stages.graph import attach_clusters, connected_components
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    pairs = dedup_mod.minhash_lsh_pairs(
+        ds, "text", "doc_id", ngram=JACCARD_NGRAM, threshold=0.2,
+        shingle_fn=lambda toks: md5_shingles(toks, JACCARD_NGRAM))
+    cc = connected_components(pairs, "a", "b", num_partitions=8)
+    ids = rd.read_parquet(_path(sf_dir, "documents"),
+                          columns=["doc_id"])
+    return attach_clusters(ids, cc, "doc_id", num_partitions=8)
+
+
+ORACLE["near_dedup_keep_md5"] = ORACLE["near_dedup_keep_md5"].format(
+    mh=_minhash_md5_sql())
+
+
 @register("decontaminate_bloom")  # Bloom membership -> rows-only
 def decontaminate_bloom(sf_dir: str):
     """``decontaminate``'s fixed-memory scale tier: benchmark gram
