@@ -59,7 +59,8 @@ BENCH_QUERIES = [
     # jaccard_pairs' quadratic pair stage, so it is excluded like
     # jaccard_pairs itself.
     "near_dedup_keep", "cust_no_orders", "corpus_curation",
-    "oov_rate", "decontaminate_bloom",
+    "oov_rate", "decontaminate_bloom", "near_dedup_keep_md5",
+    "dup_spans_apply",
 ]
 
 

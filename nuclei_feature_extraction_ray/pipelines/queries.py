@@ -3266,6 +3266,75 @@ def cust_no_orders(sf_dir: str):
     return partition_map(both, ["key"], anti, 16)
 
 
+@register("dup_spans_apply", sql="""
+    WITH RECURSIVE idx(i) AS (
+      SELECT CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT i + 1 FROM idx
+      WHERE i + 1 <= (SELECT max(length(text)) - 20 FROM documents)
+    ), grams AS (
+      SELECT d.doc_id, idx.i AS pos,
+             substring(d.text, CAST(idx.i AS INTEGER) + 1, 20) AS g
+      FROM documents d JOIN idx ON idx.i <= length(d.text) - 20
+    ), gstat AS (
+      SELECT g, count(DISTINCT doc_id) AS nd, min(doc_id) AS mn
+      FROM grams GROUP BY g
+    ), hits AS (
+      SELECT gr.doc_id, gr.pos FROM grams gr JOIN gstat USING (g)
+      WHERE gstat.nd > 1 AND gr.doc_id > gstat.mn
+    ), brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos, 1, -999999) OVER w + 20
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isles AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isle
+      FROM brks
+    ), spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+      FROM isles GROUP BY doc_id, isle
+    ), seg AS (
+      SELECT doc_id, s, e,
+             lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s)
+               AS prev_e
+      FROM spans
+    ), pieces AS (
+      SELECT sg.doc_id,
+             substring(d.text, CAST(sg.prev_e AS INTEGER) + 1,
+                       CAST(sg.s - sg.prev_e AS INTEGER)) AS piece,
+             sg.s AS ord
+      FROM seg sg JOIN documents d USING (doc_id)
+      UNION ALL
+      SELECT mx.doc_id,
+             substring(d.text, CAST(mx.last_e AS INTEGER) + 1)
+               AS piece,
+             2147483647 AS ord
+      FROM (SELECT doc_id, max(e) AS last_e FROM spans
+            GROUP BY doc_id) mx JOIN documents d USING (doc_id)
+    ), cleaned AS (
+      SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+      FROM pieces GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(c.clean_text, d.text) AS clean_text,
+           CAST(length(d.text)
+                - length(coalesce(c.clean_text, d.text)) AS BIGINT)
+             AS n_cut
+    FROM documents d LEFT JOIN cleaned c USING (doc_id)""")
+def dup_spans_apply(sf_dir: str):
+    """APPLY the substring dedup: every duplicated 20-gram span is cut
+    from all but its first (min doc id) carrier — the executable form
+    of ``dup_spans`` (Lee et al. keep-one-copy semantics). Engine:
+    ``stages.dedup.remove_duplicate_spans`` (keep_first span list +
+    one doc-keyed exchange + per-partition splice). Oracle rebuilds
+    the cut text with gaps-and-islands windows + ORDER BY string_agg
+    over the surviving segments."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    return dedup_mod.remove_duplicate_spans(ds, "text", "doc_id",
+                                            k=20, num_partitions=8)
+
+
 def all_queries() -> dict:
     return dict(QUERIES)
 

@@ -582,7 +582,8 @@ def remove_hot_lines(ds, text_col: str, hot: pd.DataFrame,
 
 
 def duplicate_spans(ds, text_col: str, id_col: str, k: int = 20,
-                    num_partitions: int = 8):
+                    num_partitions: int = 8,
+                    policy: str = "mark_all"):
     """Exact duplicate-SUBSTRING span detection (the ExactSubstr goal
     of Lee et al., ACL'22, recast as hashed-gram exchanges): find, for
     every document, the maximal character ranges covered by some
@@ -611,7 +612,16 @@ def duplicate_spans(ds, text_col: str, id_col: str, k: int = 20,
     (identical standard to ``exact_dedup``). Skew: a gram duplicated
     across q docs costs q rows in one partition — bounded by doc
     count, and hot grams (boilerplate) are exactly the spans we want.
+
+    ``policy``: ``"mark_all"`` marks the span in EVERY doc carrying
+    it (the audit view); ``"keep_first"`` marks it only in docs whose
+    id is above the gram's minimum doc id — the cut list that keeps
+    exactly one copy of each duplicated region (Lee et al.'s
+    dedup semantics), applied by ``remove_duplicate_spans``.
     """
+    if policy not in ("mark_all", "keep_first"):
+        raise ValueError("policy must be mark_all|keep_first: %r"
+                         % policy)
     from ..functions.hashing import rolling_kgram_hash128
 
     def grams(b: pd.DataFrame) -> pd.DataFrame:
@@ -639,9 +649,11 @@ def duplicate_spans(ds, text_col: str, id_col: str, k: int = 20,
     def cross_doc_hits(g: pd.DataFrame) -> pd.DataFrame:
         dup = (g.drop_duplicates(["h1", "h2", "doc"])
                .groupby(["h1", "h2"], as_index=False)
-               .agg(nd=("doc", "size")))
-        dup = dup.loc[dup["nd"] > 1, ["h1", "h2"]]
+               .agg(nd=("doc", "size"), mn=("doc", "min")))
+        dup = dup.loc[dup["nd"] > 1, ["h1", "h2", "mn"]]
         hits = g.merge(dup, on=["h1", "h2"])
+        if policy == "keep_first":
+            hits = hits[hits["doc"] > hits["mn"]]
         return hits[["doc", "pos"]]
 
     hits = partition_map(gram_rows, ["h1", "h2"], cross_doc_hits,
@@ -667,3 +679,68 @@ def duplicate_spans(ds, text_col: str, id_col: str, k: int = 20,
         return out[[id_col, "span_start", "span_end", "span_len"]]
 
     return partition_map(hits, ["doc"], merge_spans, num_partitions)
+
+
+def remove_duplicate_spans(ds, text_col: str, id_col: str,
+                           k: int = 20, num_partitions: int = 8):
+    """APPLY the substring dedup decision: cut every duplicated span
+    from all but its first (min doc id) carrier — the actual
+    ExactSubstr dedup pass, not just the audit list. One extra
+    doc-keyed exchange co-locates each doc's text with its
+    ``keep_first`` spans; the cut is a vectorized-offsets splice per
+    partition. Returns ``(id_col, clean_text, n_cut)`` for EVERY doc
+    (zero-span docs pass through, n_cut=0)."""
+    spans = duplicate_spans(ds, text_col, id_col, k=k,
+                            num_partitions=num_partitions,
+                            policy="keep_first")
+
+    def tag_doc(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc": b[id_col].to_numpy(np.int64),
+            "text": b[text_col].to_numpy(),
+            "s": np.full(len(b), -1, np.int64),
+            "e": np.full(len(b), -1, np.int64)})
+
+    def tag_span(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc": b[id_col].to_numpy(np.int64),
+            "text": pd.Series([None] * len(b), dtype=object),
+            "s": b["span_start"].to_numpy(np.int64),
+            "e": b["span_end"].to_numpy(np.int64)})
+
+    both = ds.map_batches(tag_doc, batch_format="pandas").union(
+        spans.map_batches(tag_span, batch_format="pandas"))
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["s"] < 0]
+        sp = g[g["s"] >= 0].sort_values(["doc", "s"],
+                                        kind="mergesort")
+        by_doc: dict = {}
+        for d, s, e in zip(sp["doc"].to_numpy(np.int64),
+                           sp["s"].to_numpy(np.int64),
+                           sp["e"].to_numpy(np.int64)):
+            by_doc.setdefault(int(d), []).append((int(s), int(e)))
+        ids, cleans, cuts = [], [], []
+        for d, txt in zip(docs["doc"].to_numpy(np.int64),
+                          docs["text"].to_numpy()):
+            segs = by_doc.get(int(d))
+            if not segs:
+                ids.append(d)
+                cleans.append(txt)
+                cuts.append(0)
+                continue
+            pieces, prev = [], 0
+            for s, e in segs:              # sorted, non-overlapping
+                pieces.append(txt[prev:s])
+                prev = e
+            pieces.append(txt[prev:])
+            clean = "".join(pieces)
+            ids.append(d)
+            cleans.append(clean)
+            cuts.append(len(txt) - len(clean))
+        return pd.DataFrame({
+            id_col: np.asarray(ids, np.int64),
+            "clean_text": pd.Series(cleans, dtype=object),
+            "n_cut": np.asarray(cuts, np.int64)})
+
+    return partition_map(both, ["doc"], cut, num_partitions)
