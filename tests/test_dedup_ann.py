@@ -552,3 +552,32 @@ def test_near_dedup_keep_planted(tmp_path):
     # exactly one representative per cluster
     g = out.groupby("cluster")["is_rep"].sum()
     assert (g == 1).all()
+
+
+def test_remove_duplicate_spans_keep_first():
+    """keep_first cuts the shared region from the LATER doc only and
+    splices the remainder correctly."""
+    from nuclei_feature_extraction_ray.stages.dedup import (
+        remove_duplicate_spans)
+
+    shared = "shared boilerplate region both docs carry here"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "first doc keeps: " + shared + " :tail one",
+            "second doc loses " + shared + " :tail two",
+            "untouched third document with unique words only",
+        ]})
+    out = remove_duplicate_spans(rd.from_pandas(docs), "text",
+                                 "doc_id", k=20, num_partitions=4) \
+        .to_pandas().set_index("doc_id")
+    assert len(out) == 3
+    # first carrier intact
+    assert out.loc[1, "clean_text"] == docs.loc[0, "text"]
+    assert out.loc[1, "n_cut"] == 0
+    # later carrier loses the shared region (and nothing survives of
+    # it); the unique prefix remains
+    assert shared not in out.loc[2, "clean_text"]
+    assert out.loc[2, "clean_text"].startswith("second doc loses")
+    assert out.loc[2, "n_cut"] > len(shared) - 1
+    assert out.loc[3, "n_cut"] == 0
