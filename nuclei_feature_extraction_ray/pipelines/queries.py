@@ -3335,6 +3335,64 @@ def dup_spans_apply(sf_dir: str):
                                             k=20, num_partitions=8)
 
 
+@register("lang_zscore", sql="""
+    WITH s AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sm,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS sq
+      FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_chars,
+           (d.n_chars - CAST(sm AS DOUBLE) / n)
+             / sqrt((sq - CAST(sm AS DOUBLE) * sm / n) / (n - 1))
+             AS z
+    FROM documents d JOIN s USING (lang)""")
+def lang_zscore(sf_dir: str):
+    """Group-wise feature standardization (per-language z-score of
+    doc length) — the normalization pass feature pipelines apply
+    before mixing signals. Per-batch INTEGER moment partials (n, sum,
+    sum-of-squares per lang) reach the driver through the guarded
+    combine, so the group moments are exact and order-free; the
+    per-row z is then ONE identical float expression in numpy and SQL
+    ((x - sm/n) / sqrt((sq - sm*sm/n)/(n-1)), IEEE ops in the same
+    tree shape), making the result bit-exact with no rounding step.
+    Broadcast moments, map-only second pass — no shuffle."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["n_chars"].to_numpy(np.int64)
+        g = pd.DataFrame({"lang": b["lang"], "x": x, "x2": x * x}) \
+            .groupby("lang", as_index=False).agg(
+                n=("x", "size"), sm=("x", "sum"), sq=("x2", "sum"))
+        for c in ("n", "sm", "sq"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    mom = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["lang"], ["n", "sm", "sq"]).set_index("lang")
+    mref = ray.put({l: (int(r["n"]), int(r["sm"]), int(r["sq"]))
+                    for l, r in mom.iterrows()})
+
+    class Z:
+        def __init__(self):
+            self.m = ray.get(mref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            langs = b["lang"].to_numpy()
+            x = b["n_chars"].to_numpy(np.int64)
+            n = np.asarray([self.m[l][0] for l in langs], np.int64)
+            sm = np.asarray([self.m[l][1] for l in langs], np.int64)
+            sq = np.asarray([self.m[l][2] for l in langs], np.int64)
+            smf = sm.astype(np.float64)
+            z = (x - smf / n) / np.sqrt((sq - smf * sm / n) / (n - 1))
+            return pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "lang": langs, "n_chars": x, "z": z})
+
+    return ds.map_batches(Z, batch_format="pandas", concurrency=2)
+
+
 def all_queries() -> dict:
     return dict(QUERIES)
 
