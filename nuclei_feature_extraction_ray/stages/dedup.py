@@ -744,3 +744,60 @@ def remove_duplicate_spans(ds, text_col: str, id_col: str,
             "n_cut": np.asarray(cuts, np.int64)})
 
     return partition_map(both, ["doc"], cut, num_partitions)
+
+
+def dedup_against_index(ds, content_col: str, id_col: str,
+                        index_ds=None, num_partitions: int = 32):
+    """INCREMENTAL exact dedup: drop rows whose 128-bit content hash
+    already exists in a PRIOR run's hash index, and dedup the new
+    batch against itself (min-id winner, like ``exact_dedup``) — the
+    append-only ingestion pass a continuously-crawled corpus needs.
+
+    ``index_ds``: Dataset of prior ``(__h, __h2)`` int64 hash rows
+    (written by a previous run; pass None for a first run). Returns
+    ``(id_col, __h, __h2)`` for the SURVIVING new rows — the caller
+    appends exactly these hash rows to the index directory (one new
+    parquet dir per run keeps the index itself append-only and
+    resumable, the ``state/manifest`` pattern).
+
+    Scale shape: the index is NEVER broadcast or driver-materialized —
+    both sides stream tagged hash rows into ONE co-partitioning
+    exchange on the content hash, and each partition anti-filters
+    vectorized. Retry-idempotent: min-id winner + pure filter."""
+    def add_hash(batch: pa.Table) -> pa.Table:
+        vals = batch[content_col].to_numpy(zero_copy_only=False)
+        h = hash64(vals)
+        h2 = pd.util.hash_array(np.asarray(vals, dtype=object),
+                                hash_key=_H2_KEY, categorize=False)
+        return pa.table({
+            id_col: batch[id_col],
+            "__h": pa.array(h.astype(np.int64)),
+            "__h2": pa.array(h2.astype(np.int64)),
+            "__old": pa.array(np.zeros(len(batch), np.int64))})
+
+    new = ds.select_columns([content_col, id_col]) \
+        .map_batches(add_hash, batch_format="pyarrow")
+
+    if index_ds is not None:
+        def tag_old(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                id_col: np.full(len(b), -1, np.int64),
+                "__h": b["__h"].to_numpy(np.int64),
+                "__h2": b["__h2"].to_numpy(np.int64),
+                "__old": np.ones(len(b), np.int64)})
+        new = new.union(index_ds.map_batches(
+            tag_old, batch_format="pandas"))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["__old"] == 1]
+        nw = g[g["__old"] == 0].sort_values(id_col, kind="mergesort")
+        # intra-run dedup: min id per hash
+        nw = nw.groupby(["__h", "__h2"], sort=False).head(1)
+        if len(old):
+            m = nw.merge(old[["__h", "__h2"]].drop_duplicates(),
+                         on=["__h", "__h2"], how="left",
+                         indicator=True)
+            nw = nw[(m["_merge"] == "left_only").to_numpy()]
+        return nw[[id_col, "__h", "__h2"]]
+
+    return partition_map(new, ["__h"], anti, num_partitions)

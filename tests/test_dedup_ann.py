@@ -581,3 +581,35 @@ def test_remove_duplicate_spans_keep_first():
     assert out.loc[2, "clean_text"].startswith("second doc loses")
     assert out.loc[2, "n_cut"] > len(shared) - 1
     assert out.loc[3, "n_cut"] == 0
+
+
+def test_dedup_against_index_incremental(tmp_path):
+    """Run 1 dedups intra-batch; its hash rows become the index; run 2
+    drops everything already ingested and keeps only genuinely new
+    content."""
+    import pyarrow.parquet as pq
+    from nuclei_feature_extraction_ray.stages.dedup import (
+        dedup_against_index)
+
+    r1 = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["alpha", "beta", "alpha", "gamma"]})
+    out1 = dedup_against_index(rd.from_pandas(r1), "text", "doc_id",
+                               num_partitions=4).to_pandas()
+    assert sorted(out1["doc_id"]) == [1, 2, 4]      # intra-run dedup
+
+    idx_dir = tmp_path / "index" / "run=1"
+    idx_dir.mkdir(parents=True)
+    pq.write_table(
+        pa.Table.from_pandas(out1[["__h", "__h2"]],
+                             preserve_index=False),
+        str(idx_dir / "part.parquet"))
+
+    r2 = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": ["beta", "delta", "gamma", "delta"]})
+    idx = rd.read_parquet(str(tmp_path / "index"))
+    out2 = dedup_against_index(rd.from_pandas(r2), "text", "doc_id",
+                               index_ds=idx,
+                               num_partitions=4).to_pandas()
+    # beta/gamma already ingested; delta new (min id wins intra-run)
+    assert sorted(out2["doc_id"]) == [11]
