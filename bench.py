@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     # jaccard_pairs itself.
     "near_dedup_keep", "cust_no_orders", "corpus_curation",
     "oov_rate", "decontaminate_bloom", "near_dedup_keep_md5",
-    "dup_spans_apply", "lang_zscore",
+    "dup_spans_apply", "lang_zscore", "weighted_sample",
 ]
 
 

@@ -3393,6 +3393,55 @@ def lang_zscore(sf_dir: str):
     return ds.map_batches(Z, batch_format="pandas", concurrency=2)
 
 
+@register("weighted_sample", sql="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                     1, 16))::UBIGINT AS DOUBLE)
+                / 18446744073709551616.0) / n_chars AS k
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars, k
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 50""")
+def weighted_sample(sf_dir: str):
+    """Distributed weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row gets key = ln(u)/w with u a PORTABLE
+    md5-derived uniform and w = n_chars; the global top-k by key is an
+    exact weighted sample — the data-selection primitive behind
+    importance-weighted corpus subsetting. Per-block partial top-k
+    (only k rows per block survive), tiny driver merge — top_spenders'
+    scale shape. Deterministic (seedless md5 of the id) and therefore
+    retry-idempotent AND SQL-oracle-exact: ln/division is the same
+    IEEE expression tree in numpy and DuckDB."""
+    import hashlib
+
+    K = 50
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "n_chars"])
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_chars"].to_numpy(np.int64) > 0]
+        ids = b["doc_id"].to_numpy(np.int64)
+        h = np.asarray([int(hashlib.md5(str(i).encode())
+                            .hexdigest()[:16], 16) for i in ids],
+                       np.uint64)
+        u = h.astype(np.float64) / 18446744073709551616.0
+        k = np.log(u) / b["n_chars"].to_numpy(np.int64)
+        out = pd.DataFrame({"doc_id": ids,
+                            "n_chars": b["n_chars"]
+                            .to_numpy(np.int64), "k": k})
+        out = out.sort_values(["k", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort")
+        return out.head(K)
+
+    parts = ds.map_batches(block_topk,
+                           batch_format="pandas").to_pandas()
+    top = parts.sort_values(["k", "doc_id"],
+                            ascending=[False, True],
+                            kind="mergesort").head(K)
+    return top.reset_index(drop=True)
+
+
 def all_queries() -> dict:
     return dict(QUERIES)
 
