@@ -3442,6 +3442,78 @@ def weighted_sample(sf_dir: str):
     return top.reset_index(drop=True)
 
 
+# PII scrub rules, applied IN ORDER (later patterns see earlier
+# replacements). pyarrow.compute and DuckDB both run RE2, so one
+# pattern string drives both engines with identical match semantics.
+# The name rule is a dictionary rule (real scrubbers run those too) so
+# the op has live matches on the synthetic vocab corpus; email/ip are
+# the standard C4/Dolma scrub patterns.
+_PII_RULES: list[tuple[str, str, str]] = [
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("n_ips", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "<IP>"),
+    ("n_names", r"\bcustomer\b", "<NAME>"),
+]
+
+
+def _pii_sql() -> str:
+    """Oracle: the same RE2 rules as sequential regexp_replace stages;
+    per-stage match counts via split-array length (non-overlapping
+    left-to-right, exactly RE2 replace semantics)."""
+    sql = "WITH s0 AS (SELECT doc_id, text AS t0 FROM documents)"
+    counts = []
+    for i, (cnt, pat, rep) in enumerate(_PII_RULES):
+        counts.append(cnt)
+        keep = ", ".join(counts[:-1])
+        sql += (
+            ", s{i1} AS (SELECT doc_id{keep},"
+            " len(regexp_split_to_array(t{i0}, '{pat}')) - 1 AS {cnt},"
+            " regexp_replace(t{i0}, '{pat}', '{rep}', 'g') AS t{i1}"
+            " FROM s{i0})").format(
+                i0=i, i1=i + 1, pat=pat, rep=rep, cnt=cnt,
+                keep=(", " + keep) if keep else "")
+    total = " + ".join(counts)
+    return sql + (
+        " SELECT doc_id, t{n} AS clean_text, "
+        + ", ".join("CAST(%s AS BIGINT) AS %s" % (c, c)
+                    for c in counts)
+        + ", CAST({total} AS BIGINT) AS n_redactions FROM s{n}"
+    ).format(n=len(_PII_RULES), total=total)
+
+
+@register("pii_redact", sql=_pii_sql())
+def pii_redact(sf_dir: str):
+    """PII / dictionary scrubbing (C4, Dolma, CCNet all run this pass):
+    sequentially replace emails, IPv4s, and dictionary-name tokens
+    with typed placeholders, reporting per-rule match counts.
+
+    Scale shape: pure map-only — zero shuffles, zero driver state.
+    Each rule is ONE vectorized RE2 kernel pair per batch
+    (``pc.count_substring_regex`` + ``pc.replace_substring_regex``)
+    over zero-copy Arrow batches; rules compile once inside the
+    kernel. At 100 TB this stage streams at read speed."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        cols: dict = {"doc_id": batch["doc_id"]}
+        total = None
+        for cnt, pat, rep in _PII_RULES:
+            n = pc.cast(pc.count_substring_regex(txt, pattern=pat),
+                        pa.int64())
+            cols[cnt] = n
+            total = n if total is None else pc.add(total, n)
+            txt = pc.replace_substring_regex(txt, pattern=pat,
+                                             replacement=rep)
+        cols["clean_text"] = txt
+        cols["n_redactions"] = total
+        return pa.table(cols)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 def all_queries() -> dict:
     return dict(QUERIES)
 
