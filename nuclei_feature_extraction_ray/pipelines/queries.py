@@ -3442,6 +3442,225 @@ def weighted_sample(sf_dir: str):
     return top.reset_index(drop=True)
 
 
+@register("doc_entropy", sql="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split_regex(trim(text, E' \\t\\n\\r\\f'),
+                                '[ \\t\\n\\r\\f]+') AS w
+      FROM documents WHERE trim(text, E' \\t\\n\\r\\f') <> ''
+    ), c AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(w) AS tok FROM d) t
+      GROUP BY doc_id, tok
+    ), a AS (
+      SELECT doc_id,
+             CAST(sum(CAST(floor(CAST(1e6 AS DOUBLE) * c
+                                 * ln(CAST(c AS DOUBLE)) + 0.5)
+                           AS BIGINT)) AS BIGINT) AS s_unat,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM c GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types, s_unat,
+           CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+           ln(CAST(n_tokens AS DOUBLE))
+             - (CAST(s_unat AS DOUBLE) / CAST(1e6 AS DOUBLE))
+               / CAST(n_tokens AS DOUBLE) AS entropy_nat
+    FROM a""")
+def doc_entropy(sf_dir: str):
+    """Token Shannon entropy per document (a Gopher/CCNet-family
+    quality signal: low entropy = repetitive boilerplate). Entropy =
+    ln(N) - (sum_t c_t ln c_t)/N over token counts c_t.
+
+    Float policy (bit-exact vs the oracle): each c*ln(c) term is
+    rounded to INTEGER micro-nats with the shared half-away formula
+    (floor(x*1e6 + 0.5); terms are >= 0) so the per-doc sum is
+    fold-order-exact, and the final expression is the identical IEEE
+    tree in both engines. ln comes from libm in BOTH engines: numpy's
+    SIMD np.log diverges from math.log on ~22% of integer inputs
+    (measured), so the engine evaluates ln through a math.log lookup
+    table over the integer count domain — vectorized AND bit-identical
+    to DuckDB's ln.
+
+    Scale shape: map-only, zero shuffles; per-batch counting is one
+    pandas groupby over the flattened token stream."""
+    import math
+    from ..stages.dedup import _tokenize
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def ent(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokenize(b["text"])
+        ids = b["doc_id"].to_numpy(np.int64)
+        keep = np.asarray([len(t) > 0 for t in toks])
+        if not keep.any():
+            return pd.DataFrame({
+                "doc_id": np.empty(0, np.int64),
+                "n_tokens": np.empty(0, np.int64),
+                "n_types": np.empty(0, np.int64),
+                "s_unat": np.empty(0, np.int64),
+                "ttr": np.empty(0, np.float64),
+                "entropy_nat": np.empty(0, np.float64)})
+        lens = np.asarray([len(t) for t in toks if len(t)], np.int64)
+        flat = np.concatenate([np.asarray(t, object)
+                               for t in toks if len(t)])
+        did = np.repeat(ids[keep], lens)
+        cnt = pd.DataFrame({"d": did, "t": flat}) \
+            .groupby(["d", "t"], sort=False).size().reset_index()
+        c = cnt[0].to_numpy(np.int64)
+        # libm-ln lookup over the integer count domain (see docstring)
+        logtab = np.asarray(
+            [0.0] + [math.log(i)
+                     for i in range(1, int(max(c.max(),
+                                               lens.max())) + 1)])
+        terms = np.floor(1e6 * c.astype(np.float64) * logtab[c]
+                         + 0.5).astype(np.int64)
+        agg = pd.DataFrame({"d": cnt["d"].to_numpy(np.int64),
+                            "c": c, "s": terms}) \
+            .groupby("d", sort=False).agg(
+                s_unat=("s", "sum"), n_tokens=("c", "sum"),
+                n_types=("c", "size")).reset_index()
+        n = agg["n_tokens"].to_numpy(np.int64)
+        s = agg["s_unat"].to_numpy(np.int64)
+        ty = agg["n_types"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": agg["d"].to_numpy(np.int64),
+            "n_tokens": n, "n_types": ty, "s_unat": s,
+            "ttr": ty.astype(np.float64) / n.astype(np.float64),
+            "entropy_nat": logtab[n]
+            - (s.astype(np.float64) / 1e6) / n.astype(np.float64)})
+
+    return ds.map_batches(ent, batch_format="pandas")
+
+
+@register("decontaminate_semantic", sql="""
+    WITH b AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 97 = 0),
+         c AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 97 <> 0),
+         m AS (SELECT c.vec_id,
+                      max(list_cosine_similarity(
+                          CAST(c.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[]))) AS s
+               FROM c CROSS JOIN b GROUP BY c.vec_id)
+    SELECT vec_id, round(s, 6) AS max_sim,
+           round(s, 6) >= 0.35 AS contaminated
+    FROM m""")
+def decontaminate_semantic(sf_dir: str):
+    """Embedding-space benchmark decontamination (the semantic
+    complement of the n-gram ``decontaminate`` pass): flag every
+    corpus vector whose cosine similarity to ANY benchmark vector
+    (deterministic holdout vec_id % 97 == 0) reaches the near-dup
+    threshold. Paraphrased eval contamination survives n-gram checks;
+    this catches it.
+
+    Scale shape: the benchmark matrix is small by definition —
+    normalized rows are ``ray.put`` ONCE and every batch does one
+    BLAS matmul + row-max against it (ann_bruteforce's broadcast
+    design); map-only, no shuffle. The decision threshold compares
+    the round-6 similarity on both sides (the repo's ANN float
+    convention)."""
+    from ..stages.ann import _norm_rows, _stack
+
+    bt = pq.read_table(_path(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"])
+    vid = bt["vec_id"].to_numpy().astype(np.int64)
+    bench = bt.filter(pa.array(vid % 97 == 0))
+    if bench.num_rows == 0:
+        raise ValueError("decontaminate_semantic: empty benchmark")
+    bmat = _norm_rows(_stack(bench["embedding"]))
+    if bmat.nbytes > (256 << 20):
+        raise ValueError("decontaminate_semantic: benchmark matrix too"
+                         " large to broadcast; use the LSH tier")
+    bref = ray.put(bmat)
+
+    ds = rd.read_parquet(_path(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    class MaxSim:
+        def __init__(self):
+            self.b = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            keep = (ids % 97) != 0
+            if not keep.any():
+                return pd.DataFrame({
+                    "vec_id": np.empty(0, np.int64),
+                    "max_sim": np.empty(0, np.float64),
+                    "contaminated": np.empty(0, bool)})
+            mat = _norm_rows(_stack(batch["embedding"]))[keep]
+            s = np.round((mat @ self.b.T).max(axis=1), 6)
+            return pd.DataFrame({"vec_id": ids[keep], "max_sim": s,
+                                 "contaminated": s >= 0.35})
+
+    return ds.map_batches(MaxSim, batch_format="pyarrow",
+                          concurrency=2, batch_size=4096)
+
+
+@register("corpus_profile", sql="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(min(length(text)) AS BIGINT) AS min_chars,
+           CAST(max(length(text)) AS BIGINT) AS max_chars,
+           CAST(sum(CASE WHEN trim(text, E' \\t\\n\\r\\f') = ''
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+           CAST(sum(length(text)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_chars
+    FROM documents""")
+def corpus_profile(sf_dir: str):
+    """One-pass dataset profiling (the data card a curation run emits
+    before/after each stage): row count, distinct langs/sources, char
+    totals and extrema, empty-doc count, mean length.
+
+    Scale shape: each block reduces to ONE partial row (counts, sums,
+    extrema, and the block's distinct lang/source sets — bounded
+    enumerable vocabularies); the driver folds the tiny partials.
+    avg_chars is exact-integer sum / count with ONE final division —
+    order-exact in both engines. No shuffle, no materialization."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["text", "lang", "source"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        ln = pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        trimmed = pc.utf8_trim(b["text"], characters=" \t\n\r\f")
+        empt = int(pc.sum(pc.cast(pc.equal(trimmed, ""),
+                                  pa.int64())).as_py() or 0)
+        return pd.DataFrame({
+            "n": [len(b)], "total": [int(ln.sum())],
+            "mn": [int(ln.min())], "mx": [int(ln.max())],
+            "n_empty": [empt],
+            "langs": [",".join(sorted(set(
+                b["lang"].to_pylist())))],
+            "sources": [",".join(sorted(set(
+                b["source"].to_pylist())))]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        raise ValueError("corpus_profile: empty input")
+    langs: set = set()
+    sources: set = set()
+    for s in parts["langs"]:
+        langs.update(s.split(","))
+    for s in parts["sources"]:
+        sources.update(s.split(","))
+    n = int(parts["n"].sum())
+    total = int(parts["total"].sum())
+    return pd.DataFrame({
+        "n_docs": pd.array([n], "int64"),
+        "n_langs": pd.array([len(langs)], "int64"),
+        "n_sources": pd.array([len(sources)], "int64"),
+        "total_chars": pd.array([total], "int64"),
+        "min_chars": pd.array([int(parts["mn"].min())], "int64"),
+        "max_chars": pd.array([int(parts["mx"].max())], "int64"),
+        "n_empty": pd.array([int(parts["n_empty"].sum())], "int64"),
+        "avg_chars": [float(total) / float(n)]})
+
+
 # PII scrub rules, applied IN ORDER (later patterns see earlier
 # replacements). pyarrow.compute and DuckDB both run RE2, so one
 # pattern string drives both engines with identical match semantics.
