@@ -718,6 +718,40 @@ def asof_quote(sf_dir: str):
                      num_partitions=EVENTS_P)
 
 
+@register("asof_quote_tol", sql="""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN v.ts >= p.ts - INTERVAL 6 HOUR
+                THEN v.ts END AS view_ts,
+           CASE WHEN v.ts >= p.ts - INTERVAL 6 HOUR
+                THEN v.value END AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts""")
+def asof_quote_tol(sf_dir: str):
+    """Tolerance-bounded point-in-time join: like asof_quote but a
+    preceding view only counts within a 6-hour freshness window —
+    staler matches null out (the standard staleness guard when serving
+    features from snapshots). Exercises the ``tolerance`` parameter of
+    stages/asof.asof_join end-to-end; same single co-partitioned
+    exchange as asof_quote."""
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type",
+                          "value"])
+    probes = ev.filter(expr="event_type == 'purchase'") \
+               .select_columns(["event_id", "user_id", "ts"])
+    snaps = ev.filter(expr="event_type == 'view'") \
+              .select_columns(["user_id", "ts", "value"])
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["user_id", "view_ts",
+                                     "view_value"])
+
+    snaps = snaps.map_batches(rn, batch_format="pyarrow")
+    return asof_join(probes, snaps, key="user_id", probe_ts="ts",
+                     snap_ts="view_ts", value_cols=["view_value"],
+                     num_partitions=EVENTS_P,
+                     tolerance=pd.Timedelta(hours=6))
+
+
 @register("range_join_funnel", sql="""
     SELECT a.event_id AS view_id, a.user_id, a.ts AS view_ts,
            b.event_id AS purchase_id, b.ts AS purchase_ts,
@@ -1871,6 +1905,79 @@ def pages_domains(sf_dir: str):
 
     return partitioned_apply(pages.map_batches(
         partial, batch_format="pyarrow"), "host", finish, 8)
+
+
+def pages_latest_sql(scale: str) -> str:
+    """DuckDB oracle for ``pages_latest``. Ties at the max timestamp
+    (the corpus plants same-ts duplicate snapshots with differing
+    html) are resolved by AGGREGATING over the tied rows — count,
+    max length, min md5 — so the result is total-order-free."""
+    return """
+    WITH p AS (SELECT url, warc_ts, text FROM read_parquet('{glob}')
+               WHERE text IS NOT NULL),
+    m AS (SELECT url, max(warc_ts) AS last_ts,
+                 CAST(count(*) AS BIGINT) AS n_snapshots
+          FROM p GROUP BY url)
+    SELECT m.url, m.last_ts, m.n_snapshots,
+           CAST(count(*) AS BIGINT) AS n_latest,
+           CAST(max(length(p.text)) AS BIGINT) AS latest_len,
+           min(md5(p.text)) AS latest_md5
+    FROM m JOIN p ON p.url = m.url AND p.warc_ts = m.last_ts
+    GROUP BY m.url, m.last_ts, m.n_snapshots""".format(
+        glob=_pages_glob(scale))
+
+
+@register("pages_latest")   # SQL attached in all_oracle_sql
+def pages_latest(sf_dir: str):
+    """Keep-latest-snapshot census per url (the recency pass a crawl
+    curation runs before serving 'current' pages): snapshot count,
+    latest timestamp, and the latest content's length + md5
+    fingerprint. Same-ts ties aggregate (count/max-len/min-md5) so
+    the answer is deterministic without a total order on content.
+
+    Scale shape: per-block partials reduce each block to <= one row
+    per url BEFORE the exchange (text never crosses it — only length,
+    md5, and counts), then ONE url-hash exchange and a per-partition
+    fold. Failed reads (null text) are dropped at the read (M5)."""
+    import hashlib
+    from ..corpus import corpus_dir
+    d = corpus_dir(_corpus_scale(sf_dir))
+    pages = rd.read_parquet(os.path.join(d, "pages"),
+                            columns=["url", "warc_ts", "text"],
+                            filter=pc.field("text").is_valid())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        tsmax = b.groupby("url")["warc_ts"].transform("max")
+        top = b[b["warc_ts"] == tsmax].copy()
+        top["md5"] = [hashlib.md5(t.encode()).hexdigest()
+                      for t in top["text"]]
+        top["ln"] = top["text"].str.len().astype(np.int64)
+        a = b.groupby("url", as_index=False).agg(
+            n=("warc_ts", "size"), ts_max=("warc_ts", "max"))
+        t = top.groupby("url", as_index=False).agg(
+            n_at=("md5", "size"), len_max=("ln", "max"),
+            md5_min=("md5", "min"))
+        out = a.merge(t, on="url")
+        out["n"] = out["n"].astype(np.int64)
+        out["n_at"] = out["n_at"].astype(np.int64)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        last = g.groupby("url")["ts_max"].transform("max")
+        tot = g.groupby("url", as_index=False).agg(
+            n_snapshots=("n", "sum"), last_ts=("ts_max", "max"))
+        top = g[g["ts_max"] == last].groupby("url", as_index=False) \
+            .agg(n_latest=("n_at", "sum"),
+                 latest_len=("len_max", "max"),
+                 latest_md5=("md5_min", "min"))
+        out = tot.merge(top, on="url")
+        for c in ("n_snapshots", "n_latest", "latest_len"):
+            out[c] = out[c].astype(np.int64)
+        return out[["url", "last_ts", "n_snapshots", "n_latest",
+                    "latest_len", "latest_md5"]]
+
+    return partitioned_apply(pages.map_batches(
+        partial, batch_format="pandas"), "url", fold, 8)
 
 
 def line_dedup_sql(scale: str) -> str:
@@ -3533,6 +3640,162 @@ def doc_entropy(sf_dir: str):
     return ds.map_batches(ent, batch_format="pandas")
 
 
+_TOKEN_BUDGET = 1000                 # tokens kept per language
+
+
+@register("token_budget", sql="""
+    WITH t AS (SELECT doc_id, lang, CAST({tok} AS BIGINT) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, lang, n_tok,
+                 sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+          FROM t)
+    SELECT doc_id, lang, n_tok, CAST(cum AS BIGINT) AS cum_tok,
+           cum <= {B} AS kept
+    FROM c""".format(tok=text_stats_sql("text")["n_tokens"],
+                     B=_TOKEN_BUDGET))
+def token_budget(sf_dir: str):
+    """Per-language token-budget selection (the 'take the first N
+    tokens of each language' mixing primitive): docs are consumed in
+    doc_id order within each lang and kept while the running token
+    total stays inside the budget. All integer arithmetic ->
+    bit-exact oracle.
+
+    Scale shape: seq_pack's two-phase distributed prefix sum, keyed
+    per (lang, doc_id-bucket): phase A pre-aggregates per-(lang,
+    bucket) token totals into the guarded driver combine, which turns
+    them into per-lang cumulative offsets broadcast ONCE; phase B is
+    one hash exchange on bucket + partition-local sort/cumsum. Text
+    never crosses the exchange."""
+    from ..stages.partition import partition_map
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "text"])
+
+    def toks(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        nt = text_stats_frame(batch["text"])["n_tokens"] \
+            .to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids, "lang": batch["lang"],
+                             "bucket": ids // _SEQ_BUCKET,
+                             "n_tok": nt})
+
+    tok_ds = ds.map_batches(toks, batch_format="pandas")
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["lang", "bucket"], as_index=False) \
+            .agg(s=("n_tok", "sum"))
+        g["s"] = g["s"].astype(np.int64)
+        return g
+
+    hist = _combine_partials(
+        tok_ds.map_batches(hist_partial, batch_format="pandas"),
+        ["lang", "bucket"], ["s"]) \
+        .sort_values(["lang", "bucket"], kind="mergesort")
+    hist["off"] = (hist.groupby("lang", sort=False)["s"].cumsum()
+                   - hist["s"]).astype(np.int64)
+    ref = ray.put(hist[["lang", "bucket", "off"]])
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(ref)
+        g = g.sort_values("doc_id", kind="mergesort")
+        g["intra"] = (g.groupby(["lang", "bucket"], sort=False)
+                      ["n_tok"].cumsum() - g["n_tok"]) \
+            .astype(np.int64)
+        g = g.merge(offs, on=["lang", "bucket"], how="left")
+        cum = (g["off"].to_numpy(np.int64)
+               + g["intra"].to_numpy(np.int64)
+               + g["n_tok"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "lang": g["lang"],
+            "n_tok": g["n_tok"].to_numpy(np.int64),
+            "cum_tok": cum, "kept": cum <= _TOKEN_BUDGET})
+
+    return partition_map(tok_ds, ["bucket"], select, 8)
+
+
+@register("returned_customers", sql="""
+    SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  WHERE o.o_custkey = c.c_custkey
+                    AND l.l_returnflag = 'R')""")
+def returned_customers(sf_dir: str):
+    """Two-hop distributed SEMI-join chain (customers with at least
+    one returned lineitem): lineitem -> orders -> customer, all three
+    sides large. Complements cust_no_orders (single-hop anti).
+
+    Scale shape: TWO co-partitioning exchanges, no broadcast, no
+    driver state. Hop 1 shuffles only DISTINCT returned orderkeys
+    (8 bytes each, pre-deduped per block) against (orderkey, custkey)
+    pairs and semi-merges per partition into distinct custkeys; hop 2
+    shuffles those keys against customer rows and semi-merges
+    vectorized. acctbal crosses engines as exact integer cents."""
+    from ..stages.partition import partition_map
+
+    orders = rd.read_parquet(_path(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(_path(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_returnflag"])
+    cust = rd.read_parquet(_path(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["o_orderkey"].to_numpy(np.int64),
+            "cust": b["o_custkey"].to_numpy(np.int64),
+            "side": np.zeros(len(b), np.int64)})
+
+    def returned_keys(b: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(b.loc[b["l_returnflag"] == "R", "l_orderkey"]
+                      .to_numpy(np.int64))
+        return pd.DataFrame({"key": k,
+                             "cust": np.zeros(len(k), np.int64),
+                             "side": np.ones(len(k), np.int64)})
+
+    hop1 = orders.map_batches(order_rows, batch_format="pandas") \
+        .union(li.map_batches(returned_keys, batch_format="pandas"))
+
+    def semi_custkeys(g: pd.DataFrame) -> pd.DataFrame:
+        ret = np.unique(g.loc[g["side"] == 1, "key"]
+                        .to_numpy(np.int64))
+        o = g[g["side"] == 0]
+        hit = _sorted_member(ret, o["key"].to_numpy(np.int64))
+        k = np.unique(o.loc[hit, "cust"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "key": k, "c_nationkey": np.zeros(len(k), np.int64),
+            "acctbal_cents": np.zeros(len(k), np.int64),
+            "side": np.ones(len(k), np.int64)})
+
+    keys_ds = partition_map(hop1, ["key"], semi_custkeys, 16)
+
+    def cust_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["c_custkey"].to_numpy(np.int64),
+            "c_nationkey": b["c_nationkey"].to_numpy(np.int64),
+            "acctbal_cents": np.round(
+                b["c_acctbal"].to_numpy() * 100).astype(np.int64),
+            "side": np.zeros(len(b), np.int64)})
+
+    hop2 = cust.map_batches(cust_rows, batch_format="pandas") \
+        .union(keys_ds)
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        has = np.unique(g.loc[g["side"] == 1, "key"]
+                        .to_numpy(np.int64))
+        c = g[g["side"] == 0]
+        keep = _sorted_member(has, c["key"].to_numpy(np.int64))
+        out = c.loc[keep, ["key", "c_nationkey", "acctbal_cents"]]
+        return out.rename(columns={"key": "c_custkey"})
+
+    return partition_map(hop2, ["key"], semi, 16)
+
+
 @register("decontaminate_semantic", sql="""
     WITH b AS (SELECT vec_id, embedding FROM embeddings
                WHERE vec_id % 97 = 0),
@@ -3748,5 +4011,6 @@ def all_oracle_sql() -> dict[str, str]:
     out["pages_features_full"] = pages_features_full_sql("t2")
     out["pages_probes_core"] = pages_probes_core_sql("t2")
     out["pages_domains"] = pages_domains_sql("t2")
+    out["pages_latest"] = pages_latest_sql("t2")
     out["line_dedup"] = line_dedup_sql("t2")
     return out
