@@ -1980,6 +1980,149 @@ def pages_latest(sf_dir: str):
         partial, batch_format="pandas"), "url", fold, 8)
 
 
+#: max urls kept per host by pages_domain_cap (FineWeb-style cap)
+_DOMAIN_CAP = 20
+
+
+def pages_domain_cap_sql(scale: str) -> str:
+    """DuckDB oracle for ``pages_domain_cap``. (first_ts, url) is a
+    total order per host (urls are distinct after the group-by), so
+    the row_number is deterministic."""
+    return """
+    WITH u AS (
+      SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+             url, min(warc_ts) AS first_ts,
+             CAST(count(*) AS BIGINT) AS n_snapshots
+      FROM read_parquet('{glob}') GROUP BY host, url
+    ), r AS (
+      SELECT host, url, first_ts, n_snapshots,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY first_ts, url) AS rk
+      FROM u)
+    SELECT host, url, first_ts, n_snapshots, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {cap}""".format(glob=_pages_glob(scale),
+                                       cap=_DOMAIN_CAP)
+
+
+@register("pages_domain_cap")   # SQL attached in all_oracle_sql
+def pages_domain_cap(sf_dir: str):
+    """Per-domain contribution cap (the FineWeb/C4 anti-spam pass):
+    keep at most ``_DOMAIN_CAP`` urls per host, earliest-crawled
+    first — a Zipf-hot domain (this corpus plants several) otherwise
+    dominates the training mix. Emits the kept (host, url) census
+    with first-crawl ts, snapshot count, and within-host rank.
+
+    Scale shape: per-block PRE-aggregation to (host, url, min_ts,
+    count) rows — snapshots of one url sit adjacently in crawl order
+    so blocks shrink hard and text never leaves the read — then ONE
+    host-hash exchange and a per-partition fold (pandas groupby
+    cumcount, C across all hosts of the partition). The cap decision
+    needs the url's GLOBAL min ts, so per-url rows can't be dropped
+    before the exchange — but they are already maximally reduced."""
+    from ..corpus import corpus_dir
+    d = corpus_dir(_corpus_scale(sf_dir))
+    pages = rd.read_parquet(os.path.join(d, "pages"),
+                            columns=["url", "warc_ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["url"], r"^[a-z]+://(?P<h>[^/]+)")
+        t = pa.table({"host": pc.struct_field(m, "h"),
+                      "url": batch["url"],
+                      "warc_ts": batch["warc_ts"]})
+        g = t.group_by(["host", "url"]).aggregate(
+            [("warc_ts", "count"), ("warc_ts", "min")])
+        return g.rename_columns(["host", "url", "n", "ts_min"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby(["host", "url"], as_index=False).agg(
+            n_snapshots=("n", "sum"), first_ts=("ts_min", "min"))
+        u = u.sort_values(["host", "first_ts", "url"],
+                          kind="mergesort")
+        u["rk"] = u.groupby("host", sort=False).cumcount() \
+            .to_numpy(np.int64) + 1
+        u = u[u["rk"] <= _DOMAIN_CAP].copy()
+        u["n_snapshots"] = u["n_snapshots"].astype(np.int64)
+        return u[["host", "url", "first_ts", "n_snapshots", "rk"]]
+
+    return partitioned_apply(pages.map_batches(
+        partial, batch_format="pyarrow"), "host", fold, 8)
+
+
+def pages_drift_sql(scale: str) -> str:
+    """DuckDB oracle for ``pages_drift``. Same-(url, ts) duplicate
+    snapshots are collapsed to min(md5) FIRST so the lag sequence is
+    total-order-free; the final rate is one exact-int division."""
+    return """
+    WITH p AS (
+      SELECT url, warc_ts, min(md5(text)) AS h
+      FROM read_parquet('{glob}') WHERE text IS NOT NULL
+      GROUP BY url, warc_ts
+    ), l AS (
+      SELECT url, h,
+             lag(h) OVER (PARTITION BY url ORDER BY warc_ts) AS ph
+      FROM p)
+    SELECT url, CAST(count(*) AS BIGINT) AS n_snapshots,
+           CAST(sum(CASE WHEN ph IS NOT NULL AND h <> ph
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+           CASE WHEN count(*) > 1 THEN
+             CAST(sum(CASE WHEN ph IS NOT NULL AND h <> ph
+                      THEN 1 ELSE 0 END) AS DOUBLE) / (count(*) - 1)
+           ELSE 0.0 END AS change_rate
+    FROM l GROUP BY url""".format(glob=_pages_glob(scale))
+
+
+@register("pages_drift")   # SQL attached in all_oracle_sql
+def pages_drift(sf_dir: str):
+    """Content drift rate per url — the recrawl-priority signal a
+    crawler computes to schedule refreshes: of a url's consecutive
+    snapshot pairs, what fraction changed content? Same-(url, ts)
+    duplicate snapshots (the corpus plants 2 with differing html) are
+    collapsed to the min content hash before the lag, so the sequence
+    — and therefore the rate — needs no total order on content.
+
+    Scale shape: md5 is computed where the text already lives (the
+    read task); blocks pre-collapse to (url, ts, min-md5) rows so
+    only 32-byte digests cross the ONE url-hash exchange; the
+    per-partition fold re-collapses cross-block (url, ts) ties, then
+    one vectorized shift + compare per partition. change_rate is a
+    single IEEE division of two exact ints — deterministic under any
+    fold order."""
+    import hashlib
+    from ..corpus import corpus_dir
+    d = corpus_dir(_corpus_scale(sf_dir))
+    pages = rd.read_parquet(os.path.join(d, "pages"),
+                            columns=["url", "warc_ts", "text"],
+                            filter=pc.field("text").is_valid())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["url", "warc_ts"]].assign(
+            h=[hashlib.md5(t.encode()).hexdigest()
+               for t in b["text"]])
+        return b.groupby(["url", "warc_ts"], as_index=False).agg(
+            h=("h", "min"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["url", "warc_ts"], as_index=False).agg(
+            h=("h", "min"))
+        g = g.sort_values(["url", "warc_ts"], kind="mergesort")
+        ph = g.groupby("url", sort=False)["h"].shift()
+        g["chg"] = np.where(ph.notna() & (g["h"] != ph), 1, 0) \
+            .astype(np.int64)
+        out = g.groupby("url", as_index=False).agg(
+            n_snapshots=("h", "size"), n_changes=("chg", "sum"))
+        out["n_snapshots"] = out["n_snapshots"].astype(np.int64)
+        out["n_changes"] = out["n_changes"].astype(np.int64)
+        den = out["n_snapshots"].to_numpy(np.int64) - 1
+        out["change_rate"] = np.where(
+            den > 0,
+            out["n_changes"].to_numpy(np.float64)
+            / np.maximum(den, 1), 0.0)
+        return out[["url", "n_snapshots", "n_changes", "change_rate"]]
+
+    return partitioned_apply(pages.map_batches(
+        partial, batch_format="pandas"), "url", fold, 8)
+
+
 def line_dedup_sql(scale: str) -> str:
     """DuckDB oracle for ``line_dedup``.  ``rid`` keeps duplicate
     (url, warc_ts) snapshot rows (the corpus plants 2) as separate
@@ -4012,5 +4155,7 @@ def all_oracle_sql() -> dict[str, str]:
     out["pages_probes_core"] = pages_probes_core_sql("t2")
     out["pages_domains"] = pages_domains_sql("t2")
     out["pages_latest"] = pages_latest_sql("t2")
+    out["pages_domain_cap"] = pages_domain_cap_sql("t2")
+    out["pages_drift"] = pages_drift_sql("t2")
     out["line_dedup"] = line_dedup_sql("t2")
     return out

@@ -75,6 +75,8 @@ def test_rows_only_queries_run_and_are_deterministic(name, sf_small):
     ("pages_probes_core", "pages_probes_core_sql"),
     ("pages_domains", "pages_domains_sql"),
     ("pages_latest", "pages_latest_sql"),
+    ("pages_domain_cap", "pages_domain_cap_sql"),
+    ("pages_drift", "pages_drift_sql"),
     ("line_dedup", "line_dedup_sql"),
 ])
 def test_flagship_matches_oracle(name, sql_fn, sf_small):
