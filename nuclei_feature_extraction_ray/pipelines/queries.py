@@ -42,6 +42,7 @@ from ..stages import ann as ann_mod
 from ..stages import dedup as dedup_mod
 from ..stages.asof import asof_join
 from ..stages.multimodal import DecodeMedia, make_payload
+from ..stages import partition as partition_stage
 from ..stages.partition import partitioned_apply
 from ..stages.rangejoin import range_join
 from ..stages.window import (add_backfill, add_lag_lead, add_rolling_rows,
@@ -71,7 +72,17 @@ def register(name: str, sql: str | None = None):
             # Must run BEFORE any Dataset is created: each Dataset
             # snapshots the DataContext at creation time.
             configure_context()
-            return fn(sf_dir)
+            # Fresh input-size hint for this query's build: the read
+            # helpers (_path / _pages_path) append input bytes; the
+            # exchanges clamp their width to the accumulated size
+            # (stages.partition.clamped_parts). Cleared again on exit
+            # so pipelines built OUTSIDE the registry (bench headline)
+            # never see a stale hint.
+            partition_stage.INPUT_SIZE_HINT.clear()
+            try:
+                return fn(sf_dir)
+            finally:
+                partition_stage.INPUT_SIZE_HINT.clear()
 
         QUERIES[name] = wrapped
         if sql is not None:
@@ -81,7 +92,25 @@ def register(name: str, sql: str | None = None):
 
 
 def _path(sf_dir: str, table: str) -> str:
-    return os.path.join(sf_dir, table + ".parquet")
+    p = os.path.join(sf_dir, table + ".parquet")
+    try:
+        partition_stage.INPUT_SIZE_HINT.append(os.path.getsize(p))
+    except OSError:
+        pass
+    return p
+
+
+def _pages_path(d: str) -> str:
+    """Corpus pages directory, with its byte size fed to the same
+    exchange-width hint as _path (see stages.partition.clamped_parts)."""
+    p = os.path.join(d, "pages")
+    try:
+        partition_stage.INPUT_SIZE_HINT.append(sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)))
+    except OSError:
+        pass
+    return p
 
 
 def _events(sf_dir: str, columns=None):
@@ -1684,7 +1713,7 @@ def pages_features_full(sf_dir: str):
     from ..corpus import corpus_dir
     from .pages_features import compute_features
     d = corpus_dir(_corpus_scale(sf_dir))
-    pages = rd.read_parquet(os.path.join(d, "pages"),
+    pages = rd.read_parquet(_pages_path(d),
                             columns=["url", "warc_ts", "html", "lang"])
     dup_set = pa.array(sorted(_duplicated_ts_urls(pages)), pa.string())
 
@@ -1740,7 +1769,7 @@ def pages_probes_core(sf_dir: str):
     from ..corpus import corpus_dir
     from .pages_features import compute_features, probe_features
     d = corpus_dir(_corpus_scale(sf_dir))
-    pages = rd.read_parquet(os.path.join(d, "pages"),
+    pages = rd.read_parquet(_pages_path(d),
                             columns=["url", "warc_ts", "html", "lang"])
     probes = rd.read_parquet(os.path.join(d, "probes.parquet"))
     dup_set = pa.array(sorted(_duplicated_ts_urls(pages)), pa.string())
@@ -1794,7 +1823,7 @@ def pages_features_core(sf_dir: str):
     from ..corpus import corpus_dir
     from .pages_features import compute_features
     d = corpus_dir(_corpus_scale(sf_dir))
-    pages = rd.read_parquet(os.path.join(d, "pages"),
+    pages = rd.read_parquet(_pages_path(d),
                             columns=["url", "warc_ts", "html", "lang"])
     dup = _duplicated_ts_urls(pages)
     feats = compute_features(pages, num_partitions=16,
@@ -1813,7 +1842,7 @@ def pages_features(sf_dir: str):
     from ..corpus import corpus_dir
     from .pages_features import compute_features
     d = corpus_dir(_corpus_scale(sf_dir))
-    pages = rd.read_parquet(os.path.join(d, "pages"),
+    pages = rd.read_parquet(_pages_path(d),
                             columns=["url", "warc_ts", "html", "lang"])
     return compute_features(pages, num_partitions=16)
 
@@ -1823,7 +1852,7 @@ def pages_probe_features(sf_dir: str):
     from ..corpus import corpus_dir
     from .pages_features import compute_features, probe_features
     d = corpus_dir(_corpus_scale(sf_dir))
-    pages = rd.read_parquet(os.path.join(d, "pages"),
+    pages = rd.read_parquet(_pages_path(d),
                             columns=["url", "warc_ts", "html", "lang"])
     probes = rd.read_parquet(os.path.join(d, "probes.parquet"))
     feats = compute_features(pages, num_partitions=16)
@@ -1834,7 +1863,7 @@ def pages_probe_features(sf_dir: str):
 def pages_sessions(sf_dir: str):
     from ..corpus import corpus_dir
     d = corpus_dir(_corpus_scale(sf_dir))
-    pages = rd.read_parquet(os.path.join(d, "pages"),
+    pages = rd.read_parquet(_pages_path(d),
                             columns=["url", "warc_ts"])
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -1874,7 +1903,7 @@ def pages_domains(sf_dir: str):
     from ..corpus import corpus_dir
     from ..stages.window import us_seconds
     d = corpus_dir(_corpus_scale(sf_dir))
-    pages = rd.read_parquet(os.path.join(d, "pages"),
+    pages = rd.read_parquet(_pages_path(d),
                             columns=["url", "warc_ts"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1942,7 +1971,7 @@ def pages_latest(sf_dir: str):
     import hashlib
     from ..corpus import corpus_dir
     d = corpus_dir(_corpus_scale(sf_dir))
-    pages = rd.read_parquet(os.path.join(d, "pages"),
+    pages = rd.read_parquet(_pages_path(d),
                             columns=["url", "warc_ts", "text"],
                             filter=pc.field("text").is_valid())
 
@@ -2021,7 +2050,7 @@ def pages_domain_cap(sf_dir: str):
     before the exchange — but they are already maximally reduced."""
     from ..corpus import corpus_dir
     d = corpus_dir(_corpus_scale(sf_dir))
-    pages = rd.read_parquet(os.path.join(d, "pages"),
+    pages = rd.read_parquet(_pages_path(d),
                             columns=["url", "warc_ts"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2090,7 +2119,7 @@ def pages_drift(sf_dir: str):
     import hashlib
     from ..corpus import corpus_dir
     d = corpus_dir(_corpus_scale(sf_dir))
-    pages = rd.read_parquet(os.path.join(d, "pages"),
+    pages = rd.read_parquet(_pages_path(d),
                             columns=["url", "warc_ts", "text"],
                             filter=pc.field("text").is_valid())
 
@@ -2171,7 +2200,7 @@ def line_dedup(sf_dir: str):
     read twice (two streaming passes) rather than materialized."""
     from ..corpus import corpus_dir
     d = corpus_dir(_corpus_scale(sf_dir))
-    pages = rd.read_parquet(os.path.join(d, "pages"),
+    pages = rd.read_parquet(_pages_path(d),
                             columns=["url", "warc_ts", "text"],
                             filter=pc.field("text").is_valid())
     hot = dedup_mod.hot_lines(pages, "text", "url",

@@ -26,6 +26,36 @@ from ..functions.hashing import hash64
 
 PART_COL = "__part"
 
+#: Per-query input-size hint (bytes of the parquet inputs the current
+#: registered query reads), appended by the read-path helpers in
+#: pipelines.queries and cleared by the query registry wrapper before
+#: each build. When present, ``partition_map`` clamps its exchange
+#: width to ~one partition per _PART_TARGET_BYTES of input (floor 2,
+#: cap = the caller's scale-design width): hash-shuffle aggregator
+#: fixed costs dominate tiny exchanges, and partition_map results are
+#: partition-count-invariant by design (asserted by the scale-
+#: invariance tests), so the clamp changes physical width only.
+#: Queries are built sequentially (driver / bench / tests), so a
+#: module global is safe here.
+INPUT_SIZE_HINT: list[int] = []
+
+_PART_TARGET_BYTES = 4 << 20
+
+#: Never clamp below this width: exchanged rows can vastly outnumber
+#: input bytes (gram explosion) and the per-partition fn wants CPU
+#: parallelism even on tiny inputs — only genuinely WIDE exchanges
+#: (16/32+) shrink, and only when the input doesn't justify them.
+_PART_FLOOR = 8
+
+
+def clamped_parts(num_partitions: int) -> int:
+    """Clamp an exchange width to the current query's input size; the
+    caller's value is the cap (what a full-scale run would use)."""
+    if not INPUT_SIZE_HINT:
+        return num_partitions
+    fit = sum(INPUT_SIZE_HINT) // _PART_TARGET_BYTES + 1
+    return min(num_partitions, max(_PART_FLOOR, fit))
+
 
 def _part_values(keys: np.ndarray, num_partitions: int) -> np.ndarray:
     if keys.dtype.kind in "iu":
@@ -127,6 +157,7 @@ def partition_map(ds, keys: list[str], fn, num_partitions: int,
     from ..util import configure_context
     global_ctx = configure_context()
     _sync_ds_context(ds, global_ctx)
+    num_partitions = clamped_parts(num_partitions)
 
     def apply(g: pd.DataFrame) -> pd.DataFrame:
         if drop_part_col and PART_COL in g.columns and \

@@ -320,3 +320,35 @@ def test_props_extract_regex_matches_json_extract():
         "SELECT CAST(json_extract(p, '$.k') AS BIGINT) "
         "FROM (SELECT unnest(?) AS p)", [props]).fetchall()]
     assert got == want
+
+
+def test_clamped_parts_floor_cap_and_no_hint():
+    """Exchange-width clamp (stages.partition.clamped_parts): no hint
+    -> caller's width untouched; tiny hint -> floor(8) capped at the
+    caller's width; big hint -> caller's width (the scale-design cap
+    wins); hint always cleared by the registry wrapper."""
+    from nuclei_feature_extraction_ray.stages import partition as P
+
+    saved = list(P.INPUT_SIZE_HINT)
+    try:
+        P.INPUT_SIZE_HINT.clear()
+        assert P.clamped_parts(32) == 32          # no hint: untouched
+        P.INPUT_SIZE_HINT.append(1 << 20)         # 1 MiB input
+        assert P.clamped_parts(32) == 8           # floor
+        assert P.clamped_parts(4) == 4            # cap below floor wins
+        P.INPUT_SIZE_HINT.append(1 << 30)         # +1 GiB input
+        assert P.clamped_parts(32) == 32          # big data: cap wins
+        assert P.clamped_parts(300) == 257        # fit between floor/cap
+    finally:
+        P.INPUT_SIZE_HINT.clear()
+        P.INPUT_SIZE_HINT.extend(saved)
+
+
+def test_registry_wrapper_clears_size_hint():
+    """A registered query leaves no stale hint behind (pipelines built
+    outside the registry — the bench headline — must see none)."""
+    from nuclei_feature_extraction_ray.pipelines.queries import QUERIES
+    from nuclei_feature_extraction_ray.stages import partition as P
+
+    QUERIES["doc_sample"]("/root/testdata/sf0.001")
+    assert P.INPUT_SIZE_HINT == []
