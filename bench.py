@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "near_dedup_keep", "cust_no_orders", "corpus_curation",
     "oov_rate", "decontaminate_bloom", "near_dedup_keep_md5",
     "dup_spans_apply", "lang_zscore", "weighted_sample",
+    "pages_domain_cap", "pages_drift", "vocab_heavy_approx",
 ]
 
 

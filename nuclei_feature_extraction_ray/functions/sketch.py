@@ -216,3 +216,62 @@ def bloom_contains(bmp: np.ndarray, h: np.ndarray,
     byte = (pos >> np.uint64(3)).astype(np.int64)
     bit = (pos & np.uint64(7)).astype(np.uint8)
     return ((bmp[byte] >> bit) & 1).all(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — fixed-memory frequency estimation (Cormode &
+# Muthukrishnan, J. Algorithms 2005). d independent hash rows of w
+# counters; update adds 1 to one counter per row, query takes the MIN
+# across rows. Estimates NEVER undercount (one-sided: est >= true),
+# and overcount by at most eps*N with prob 1-delta for w = e/eps,
+# d = ln(1/delta). Partials merge by ADDITION (associative,
+# retry-idempotent), so the distributed build is per-batch partials
+# tree-merged exactly like the HLL registers / Bloom bitmaps.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4            # rows: delta = e^-4 ~ 1.8%
+CMS_W_LOG2 = 12      # 4096 counters/row: eps = e/4096 ~ 0.066% of N
+_CMS_W = 1 << CMS_W_LOG2
+
+#: odd multipliers for the d row mixes (splitmix64-style finalizer
+#: constants and variants — any fixed odd constants work)
+_CMS_MULT = np.array([0xff51afd7ed558ccd, 0xc4ceb9fe1a85ec53,
+                      0x9e3779b97f4a7c15, 0xbf58476d1ce4e5b9],
+                     dtype=np.uint64)
+
+
+def _cms_cols(h: np.ndarray) -> np.ndarray:
+    """(d, n) column indices from pre-hashed uint64 keys: one odd-
+    multiplier mix per row, top CMS_W_LOG2 bits as the column."""
+    with np.errstate(over="ignore"):
+        mixed = h[None, :] * _CMS_MULT[:, None]
+        mixed ^= mixed >> np.uint64(33)
+    return (mixed >> np.uint64(64 - CMS_W_LOG2)).astype(np.int64)
+
+
+def cms_partial(h: np.ndarray) -> np.ndarray:
+    """(d, w) int64 count matrix from a batch of pre-hashed keys
+    (duplicates accumulate via np.add.at)."""
+    sk = np.zeros((CMS_D, _CMS_W), np.int64)
+    if len(h):
+        cols = _cms_cols(h)
+        rows = np.repeat(np.arange(CMS_D), cols.shape[1])
+        np.add.at(sk, (rows, cols.ravel()), 1)
+    return sk
+
+
+def cms_merge(parts: list[np.ndarray]) -> np.ndarray:
+    out = parts[0].copy()
+    for p in parts[1:]:
+        out += p
+    return out
+
+
+def cms_query(sk: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Vectorized point query: min across the d rows — always >= the
+    true count, within eps*N of it with prob 1-delta."""
+    if not len(h):
+        return np.zeros(0, np.int64)
+    cols = _cms_cols(h)
+    return np.min(
+        sk[np.arange(CMS_D)[:, None], cols], axis=0).astype(np.int64)

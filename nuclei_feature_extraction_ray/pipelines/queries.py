@@ -582,6 +582,76 @@ def vocab_topk(sf_dir: str):
     return top.reset_index(drop=True)
 
 
+@register("vocab_heavy_approx")   # approximate sketch: no SQL oracle
+def vocab_heavy_approx(sf_dir: str):
+    """SHUFFLE-FREE heavy-hitter vocabulary (the fixed-memory scale
+    path beside vocab_topk's exact exchange): every block emits its
+    local candidate top-100 plus a count-min sketch partial (4x4096
+    int64, 128 KiB — Cormode & Muthukrishnan 2005); partials tree-
+    merge 64->1 by addition like the HLL registers, and the driver
+    re-ranks the merged candidate union by CMS-estimated counts.
+    CMS never undercounts (est >= true count; over by <= eps*N w.p.
+    1-delta: w=4096 -> eps~0.07% of total tokens, d=4 -> delta~1.8%).
+    Candidate recall relies on global heavy hitters being locally
+    heavy in at least one block — the standard CMS+candidates
+    compromise, property-tested against the exact top-k in pytest."""
+    import re as _re
+
+    from ..functions.hashing import hash64
+    from ..functions.sketch import cms_merge, cms_partial, cms_query
+    from ..functions.text_stats import WS_CLASS
+    ws_re = _re.compile(WS_CLASS + "+")
+    K = 25
+    LOCAL_K = 100
+    ds = rd.read_parquet(_path(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"]:
+            if not isinstance(t, str):
+                continue
+            t = t.strip(" \t\n\r\f")
+            if t:
+                toks.extend(ws_re.split(t))
+        arr = np.asarray(toks, object)
+        sk = cms_partial(hash64(arr))
+        if len(arr):
+            uniq, counts = np.unique(arr, return_counts=True)
+            order = np.lexsort((uniq, -counts))[:LOCAL_K]
+            cands = uniq[order]
+        else:
+            cands = np.empty(0, object)
+        return pa.table({
+            "cands": pa.array([list(cands)], pa.list_(pa.string())),
+            "sketch": pa.array([sk.tobytes()], pa.binary())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        sks = [np.frombuffer(b, np.int64).reshape(4, -1)
+               for b in batch["sketch"].to_pylist()]
+        cands = np.unique(np.asarray(
+            [c for row in batch["cands"].to_pylist() for c in row],
+            object))
+        return pa.table({
+            "cands": pa.array([list(cands)], pa.list_(pa.string())),
+            "sketch": pa.array([cms_merge(sks).tobytes()],
+                               pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pandas") \
+        .map_batches(combine, batch_format="pyarrow",
+                     batch_size=64).to_pandas()
+    sk = cms_merge([np.frombuffer(b, np.int64).reshape(4, -1)
+                    for b in parts["sketch"]])
+    cands = np.unique(np.asarray(
+        [c for row in parts["cands"] for c in row], object))
+    if not len(cands):
+        return pd.DataFrame({"token": pd.Series(dtype=object),
+                             "n_est": pd.Series(dtype=np.int64)})
+    est = cms_query(sk, hash64(cands))
+    order = np.lexsort((cands, -est))[:K]
+    return pd.DataFrame({"token": cands[order],
+                         "n_est": est[order].astype(np.int64)})
+
+
 @register("doc_fingerprint_md5", sql="""
     WITH g AS (
       SELECT doc_id, length(coalesce(text, '')) AS n,

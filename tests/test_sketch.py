@@ -208,3 +208,46 @@ def test_decontaminate_bloom_superset_of_exact(sf_small):
                  exact["contaminated"]).all())
     # false positives bounded: at this m/n the tiers agree exactly
     assert (bloom["n_hits"] == exact["n_hits"]).mean() > 0.99
+
+
+def test_cms_kernels_one_sided_and_merge():
+    """Count-min: estimates NEVER undercount; partial merge equals
+    the monolithic sketch; zipf heavy hitters estimate exactly when
+    distinct keys << counters."""
+    import collections
+
+    from nuclei_feature_extraction_ray.functions.hashing import hash64
+    from nuclei_feature_extraction_ray.functions.sketch import (
+        cms_merge, cms_partial, cms_query)
+
+    rng = np.random.default_rng(7)
+    keys = np.asarray(["t%d" % i for i in rng.zipf(1.3, 30000)
+                       if i < 800], object)
+    h = hash64(keys)
+    mono = cms_partial(h)
+    merged = cms_merge([cms_partial(h[:9000]), cms_partial(h[9000:])])
+    assert (mono == merged).all()
+
+    true = collections.Counter(keys.tolist())
+    uniq = np.asarray(list(true), object)
+    est = cms_query(merged, hash64(uniq))
+    tv = np.asarray([true[k] for k in uniq])
+    assert (est >= tv).all()                      # one-sided
+    assert (est - tv).mean() <= 0.001 * len(keys)  # eps*N budget
+
+
+def test_vocab_heavy_approx_vs_exact(sf_small):
+    """The CMS+candidates top-25 agrees with the exact exchange-based
+    top-k on the corpus: high recall, and every estimate >= the exact
+    count (one-sided CMS guarantee)."""
+    from nuclei_feature_extraction_ray.pipelines.queries import QUERIES
+
+    approx = QUERIES["vocab_heavy_approx"](sf_small)
+    exact = QUERIES["vocab_topk"](sf_small)
+    top = exact.head(25)
+    recall = len(set(approx["token"]) & set(top["token"])) / 25
+    assert recall >= 0.8, recall
+    truth = dict(zip(exact["token"], exact["n"]))
+    both = approx[approx["token"].isin(truth)]
+    assert all(int(e) >= int(truth[t])
+               for t, e in zip(both["token"], both["n_est"]))
