@@ -2770,6 +2770,68 @@ def quality_band(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+@register("quality_band_by_lang", sql="""
+    WITH q AS (SELECT lang, quantile_cont(n_chars, 0.10) AS lo,
+                      quantile_cont(n_chars, 0.90) AS hi
+               FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN q USING (lang)
+    WHERE d.n_chars >= q.lo AND d.n_chars <= q.hi""")
+def quality_band_by_lang(sf_dir: str):
+    """PER-LANGUAGE percentile-band filter — the CCNet-style variant
+    of quality_band: each language gets its own exact [P10, P90]
+    thresholds (a global band over-trims the language whose length
+    distribution sits in the tails of the mix). Same plan as
+    quality_band with the value histogram keyed by (lang, value):
+    per-batch partials -> guarded driver combine -> per-lang
+    quantile_cont (identical interpolation to DuckDB's) -> thresholds
+    broadcast as three parallel arrays -> one vectorized searchsorted
+    lookup + compare per batch. No shuffle; histogram bounded by
+    langs x distinct values, not rows."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def vc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["lang", "n_chars"], as_index=False).agg(
+            n=("n_chars", "size"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    hist = _combine_partials(
+        ds.map_batches(vc_partial, batch_format="pandas"),
+        ["lang", "n_chars"], ["n"]) \
+        .sort_values(["lang", "n_chars"], kind="mergesort")
+
+    def q_cont(vals, cum, q: float) -> float:
+        # DuckDB quantile_cont (same derivation as quality_band)
+        n = int(cum[-1])
+        h = (n - 1) * q
+        i = int(np.floor(h))
+        lo = vals[np.searchsorted(cum, i + 1)]
+        hi = vals[np.searchsorted(cum, min(i + 2, n))]
+        return float(lo + (hi - lo) * (h - np.floor(h)))
+
+    lang_arr, lo_arr, hi_arr = [], [], []
+    for lang, g in hist.groupby("lang", sort=True):
+        vals = g["n_chars"].to_numpy(np.float64)
+        cum = np.cumsum(g["n"].to_numpy(np.int64))
+        lang_arr.append(lang)
+        lo_arr.append(q_cont(vals, cum, 0.10))
+        hi_arr.append(q_cont(vals, cum, 0.90))
+    lang_arr = np.asarray(lang_arr, object)
+    lo_arr = np.asarray(lo_arr, np.float64)
+    hi_arr = np.asarray(hi_arr, np.float64)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(
+            lang_arr, batch["lang"].to_numpy(zero_copy_only=False))
+        return batch.filter(
+            pa.array((nc >= lo_arr[idx]) & (nc <= hi_arr[idx])))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 LANGS = ["de", "en", "es", "fr", "zh"]
 
 
