@@ -62,7 +62,7 @@ BENCH_QUERIES = [
     "oov_rate", "decontaminate_bloom", "near_dedup_keep_md5",
     "dup_spans_apply", "lang_zscore", "weighted_sample",
     "pages_domain_cap", "pages_drift", "vocab_heavy_approx",
-    "quality_band_by_lang",
+    "quality_band_by_lang", "gopher_rules",
 ]
 
 

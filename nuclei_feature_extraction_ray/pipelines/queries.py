@@ -2832,6 +2832,108 @@ def quality_band_by_lang(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+#: Gopher-style rule thresholds (Rae et al. 2021 §A1.1 shape, bounds
+#: recalibrated to this corpus's word-salad distribution so the filter
+#: is non-degenerate: word count sits in [10, 99], mean word length in
+#: [3.7, 5.3] at sf0.01).
+_GOPHER = dict(min_words=20, max_words=90, min_mwl=4.0, max_mwl=5.0,
+               min_stop=2, min_alpha_frac=0.8, max_sym_ratio=0.1)
+
+
+def _gopher_sql() -> str:
+    from ..functions.quality import STOPWORDS
+    st = text_stats_sql("text")
+    toks, mwl = st["n_tokens"], st["mean_token_len"]
+    words = ("string_split_regex(trim(text, E' \\t\\n\\r\\f'),"
+             " '[ \\t\\n\\r\\f]+')")
+    stoplist = ", ".join("'%s'" % w for w in STOPWORDS)
+    n_stop = ("CASE WHEN ({k}) = 0 THEN 0 ELSE len(list_filter({w},"
+              " x -> list_contains([{sl}], x))) END"
+              ).format(k=toks, w=words, sl=stoplist)
+    alpha_frac = ("CASE WHEN ({k}) > 0 THEN len(list_filter({w},"
+                  " x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / ({k})"
+                  " ELSE NULL END").format(k=toks, w=words)
+    sym = ("((length(text) - length(replace(text, '#', '')))"
+           " + (length(text) - length(replace(text, '...', ''))) / 3)")
+    sym_ratio = ("CASE WHEN ({k}) > 0 THEN {s} * 1.0 / ({k})"
+                 " ELSE NULL END").format(k=toks, s=sym)
+    g = _GOPHER
+    return """
+    WITH m AS (SELECT doc_id, {toks} AS n_words, {mwl} AS mwl,
+                      {n_stop} AS n_stop, {alpha} AS alpha_frac,
+                      {symr} AS sym_ratio
+               FROM documents)
+    SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+           n_stop, round(alpha_frac, 6) AS alpha_frac,
+           round(sym_ratio, 6) AS sym_ratio
+    FROM m
+    WHERE n_words >= {minw} AND n_words <= {maxw}
+      AND mwl >= {minl} AND mwl <= {maxl} AND n_stop >= {mins}
+      AND alpha_frac >= {mina} AND sym_ratio <= {maxs}""".format(
+        toks=toks, mwl=mwl, n_stop=n_stop, alpha=alpha_frac,
+        symr=sym_ratio, minw=g["min_words"], maxw=g["max_words"],
+        minl=g["min_mwl"], maxl=g["max_mwl"], mins=g["min_stop"],
+        mina=g["min_alpha_frac"], maxs=g["max_sym_ratio"])
+
+
+@register("gopher_rules", sql=_gopher_sql())
+def gopher_rules(sf_dir: str):
+    """Gopher-style rule-based quality filter (the public web-pipeline
+    composite: word-count bounds, mean-word-length bounds, minimum
+    stopword count, minimum alpha-word fraction, maximum symbol-to-word
+    ratio), emitting the survivors WITH the rule metrics so the filter
+    decision is auditable. One stateless vectorized pass per batch —
+    no shuffle, embarrassingly parallel at any scale; the word-level
+    counts share the single tokenize pass with text_stats (same split
+    semantics as the oracle SQL, byte-agreed).
+
+    Graft analog of the reference's per-record keep/drop gate on
+    degenerate nuclei (src/features/shape.rs:142-207): a pure
+    per-record predicate with the *reasons* kept as columns."""
+    import re
+    from ..functions.quality import STOPWORDS
+    from ..functions.text_stats import WS_CLASS
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    g = _GOPHER
+    alpha_re = re.compile(r"[A-Za-z]")
+    stop = frozenset(STOPWORDS)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].fillna("")
+        st = text_stats_frame(s)
+        n_words = st["n_tokens"].to_numpy(np.int64)
+        mwl = st["mean_token_len"].to_numpy(np.float64)
+        toks = s.str.strip(" \t\n\r\f").str.split(WS_CLASS + "+")
+        n_stop = np.asarray(
+            [sum(t in stop for t in tl) if tl != [""] else 0
+             for tl in toks], np.int64)
+        n_alpha = np.asarray(
+            [sum(alpha_re.search(t) is not None for t in tl)
+             for tl in toks], np.int64)
+        n_sym = (s.str.count("#")
+                 + s.str.count(r"\.\.\.")).to_numpy(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            alpha_frac = np.where(n_words > 0, n_alpha / n_words, np.nan)
+            sym_ratio = np.where(n_words > 0, n_sym / n_words, np.nan)
+        keep = ((n_words >= g["min_words"]) & (n_words <= g["max_words"])
+                & (mwl >= g["min_mwl"]) & (mwl <= g["max_mwl"])
+                & (n_stop >= g["min_stop"])
+                & (alpha_frac >= g["min_alpha_frac"])
+                & (sym_ratio <= g["max_sym_ratio"]))
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "n_words": n_words,
+            "mean_word_len": np.round(mwl, 6),
+            "n_stop": n_stop,
+            "alpha_frac": np.round(alpha_frac, 6),
+            "sym_ratio": np.round(sym_ratio, 6),
+        })
+        return out[keep]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 LANGS = ["de", "en", "es", "fr", "zh"]
 
 
