@@ -98,3 +98,34 @@ def test_all_oracle_sql_includes_flagship():
     oras = e.oracle_sql()
     assert "pages_sessions" in oras and "pages_features_core" in oras
     assert set(oras) <= set(e.queries())
+
+
+def test_gopher_rules_edge_docs(tmp_path):
+    """Edge shapes absent from the synthetic corpus: empty /
+    whitespace-only docs (n_words=0 -> NaN metrics -> dropped, both
+    engines), symbol-only docs (alpha_frac=0 + sym_ratio>0.1 -> drop),
+    stopword-free docs (n_stop=0 -> drop), and one passing doc —
+    Ray and DuckDB must agree row-for-row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    texts = {
+        1: "",
+        2: "   \t\n  ",
+        3: " ".join(["words"] * 30 + ["the", "the"]),   # passes all
+        4: " ".join(["####"] * 30) + " ... ...",        # symbols only
+        5: " ".join(["xxxx"] * 25),                     # no stopwords
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    df["lang"] = "en"
+    df["source"] = "s"
+    df["n_chars"] = df["text"].str.len()
+    pq.write_table(pa.Table.from_pandas(df),
+                   str(tmp_path / "documents.parquet"))
+
+    got = canon(to_pandas(QUERIES["gopher_rules"](str(tmp_path))))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM '%s'"
+                % (tmp_path / "documents.parquet"))
+    want = canon(con.execute(ORACLE["gopher_rules"]).df())
+    assert got["doc_id"].tolist() == [3]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
