@@ -190,13 +190,9 @@ def main() -> None:
     head = run_headline()
     queries = {} if HEADLINE_ONLY else run_queries()
 
-    rec = {
-        "metric": ("pages/sec end-to-end (ingest->windowed features->"
-                   "as-of join->Parquet)"),
-        "value": head["headline_sec"],
-        "unit": "sec",
-        "queries": {k: v for k, v in queries.items()
-                    if not k.endswith("_rows")},
+    qsec = {k: v for k, v in queries.items() if not k.endswith("_rows")}
+    full = {
+        "queries": qsec,
         "query_rows": {k[:-5]: v for k, v in queries.items()
                        if k.endswith("_rows")},
         "query_repeats": QUERY_REPEATS,
@@ -204,6 +200,34 @@ def main() -> None:
         "num_cpus": NCPU,
         **head,
     }
+    # Full per-query timings go to a FILE: the driver's stdout-tail
+    # capture is ~2,000 chars and the 70+-query map overflowed it in
+    # round 3 (BENCH_r03 parsed=null). The LAST stdout line is a
+    # compact headline-only record that always fits.
+    here = os.path.dirname(os.path.abspath(__file__))
+    if not HEADLINE_ONLY:
+        with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    rec = {
+        "metric": ("pages/sec end-to-end (ingest->windowed features->"
+                   "as-of join->Parquet)"),
+        "value": head["headline_sec"],
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        **head,
+        "n_queries": len(qsec),
+        "queries_total_sec": round(sum(qsec.values()), 3),
+        "queries_file": "BENCH_QUERIES.json",
+    }
+    # Structural capture of the most recent scaling run (bench.py
+    # --scaling writes BENCH_SCALING.json) so the driver's parsed
+    # record carries the raw per-level times, not just BASELINE.md.
+    try:
+        with open(os.path.join(here, "BENCH_SCALING.json")) as f:
+            rec["scaling"] = json.load(f)
+    except (OSError, ValueError):
+        pass
     print(json.dumps(rec))
     ray.shutdown()
 
@@ -235,14 +259,20 @@ def scaling() -> None:
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
-    print(json.dumps({
+    rec = {
         "pages": r_lo["pages"],
         "sec_%d" % lo: t_lo, "sec_%d" % hi: t_hi,
         "pages_per_sec_%d" % lo: r_lo["pages_per_sec"],
         "pages_per_sec_%d" % hi: r_hi["pages_per_sec"],
+        "raw_sec_%d" % lo: [r["value"] for r in runs_lo],
+        "raw_sec_%d" % hi: [r["value"] for r in runs_hi],
         "scaling_efficiency": round(eff, 3),
         "repeats": repeats,
-    }))
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_SCALING.json"), "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -241,11 +241,13 @@ _CMS_MULT = np.array([0xff51afd7ed558ccd, 0xc4ceb9fe1a85ec53,
 
 
 def _cms_cols(h: np.ndarray) -> np.ndarray:
-    """(d, n) column indices from pre-hashed uint64 keys: one odd-
-    multiplier mix per row, top CMS_W_LOG2 bits as the column."""
+    """(d, n) column indices from pre-hashed uint64 keys:
+    multiply-shift hashing (one odd multiplier per row, top
+    CMS_W_LOG2 bits as the column) — 2-universal, which is all CMS
+    needs. (A previous xor-shift here only touched bits BELOW the
+    extracted top-12 window and was a no-op; removed.)"""
     with np.errstate(over="ignore"):
         mixed = h[None, :] * _CMS_MULT[:, None]
-        mixed ^= mixed >> np.uint64(33)
     return (mixed >> np.uint64(64 - CMS_W_LOG2)).astype(np.int64)
 
 

@@ -712,36 +712,37 @@ def remove_duplicate_spans(ds, text_col: str, id_col: str,
         spans.map_batches(tag_span, batch_format="pandas"))
 
     def cut(g: pd.DataFrame) -> pd.DataFrame:
-        docs = g[g["s"] < 0]
-        sp = g[g["s"] >= 0].sort_values(["doc", "s"],
-                                        kind="mergesort")
-        by_doc: dict = {}
-        for d, s, e in zip(sp["doc"].to_numpy(np.int64),
-                           sp["s"].to_numpy(np.int64),
-                           sp["e"].to_numpy(np.int64)):
-            by_doc.setdefault(int(d), []).append((int(s), int(e)))
-        ids, cleans, cuts = [], [], []
-        for d, txt in zip(docs["doc"].to_numpy(np.int64),
-                          docs["text"].to_numpy()):
-            segs = by_doc.get(int(d))
-            if not segs:
-                ids.append(d)
-                cleans.append(txt)
-                cuts.append(0)
-                continue
-            pieces, prev = [], 0
-            for s, e in segs:              # sorted, non-overlapping
-                pieces.append(txt[prev:s])
-                prev = e
-            pieces.append(txt[prev:])
-            clean = "".join(pieces)
-            ids.append(d)
-            cleans.append(clean)
-            cuts.append(len(txt) - len(clean))
+        # Offset-array splice: docs sorted by id (unique — one row per
+        # doc), spans sorted by (doc, start); each doc's span range is
+        # two searchsorteds, cut totals one cumsum difference. The
+        # only Python-level work left is the unavoidable string
+        # slicing, and only for docs that actually carry spans.
+        docs = g[g["s"] < 0].sort_values("doc", kind="mergesort")
+        sp = g[g["s"] >= 0].sort_values(["doc", "s"], kind="mergesort")
+        did = docs["doc"].to_numpy(np.int64)
+        txt = docs["text"].to_numpy()
+        if not len(did):
+            return _empty({id_col: np.int64, "clean_text": object,
+                           "n_cut": np.int64})
+        sdoc = sp["doc"].to_numpy(np.int64)
+        ss = sp["s"].to_numpy(np.int64)
+        se = sp["e"].to_numpy(np.int64)
+        lo = np.searchsorted(sdoc, did, side="left")
+        hi = np.searchsorted(sdoc, did, side="right")
+        csum = np.concatenate(([0], np.cumsum(se - ss)))
+        cuts = csum[hi] - csum[lo]
+        cleans = txt.copy()
+        for j in np.flatnonzero(hi > lo):
+            t = txt[j]
+            # kept pieces: [0,s0), [e0,s1), ..., [e_last, len)
+            starts = np.concatenate(([0], se[lo[j]:hi[j]]))
+            ends = np.concatenate((ss[lo[j]:hi[j]], [len(t)]))
+            cleans[j] = "".join(
+                [t[a:b] for a, b in zip(starts, ends)])
         return pd.DataFrame({
-            id_col: np.asarray(ids, np.int64),
+            id_col: did,
             "clean_text": pd.Series(cleans, dtype=object),
-            "n_cut": np.asarray(cuts, np.int64)})
+            "n_cut": cuts.astype(np.int64)})
 
     return partition_map(both, ["doc"], cut, num_partitions)
 

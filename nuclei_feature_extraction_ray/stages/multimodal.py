@@ -100,12 +100,17 @@ class DecodeMedia:
                 counts = np.bincount(body, minlength=256)
                 pr = counts[counts > 0] / len(body)
                 entropy[i] = float(-(pr * np.log2(pr)).sum())
+        # r6 = half-AWAY-from-zero (functions.texture.r6): byte mean /
+        # std of a small raster are dyadic rationals that land EXACTLY
+        # on 5e-7 boundaries, where numpy's half-even and the SQL
+        # oracle's round() differ.
+        from ..functions.texture import r6
         out = batch.drop_columns([self.payload_col])
         for name, arr in (("width", width), ("height", height),
                           ("n_payload_bytes", nbytes),
-                          ("byte_mean", np.round(mean, 6)),
-                          ("byte_std", np.round(std, 6)),
-                          ("byte_entropy", np.round(entropy, 6))):
+                          ("byte_mean", r6(mean)),
+                          ("byte_std", r6(std)),
+                          ("byte_entropy", r6(entropy))):
             out = out.append_column(name, pa.array(arr))
         return out
 

@@ -26,18 +26,58 @@ from ..functions.hashing import hash64
 
 PART_COL = "__part"
 
+class _ThreadLocalSizeHint:
+    """Per-THREAD list of input sizes: the hint is driver-side build
+    state, so two queries building concurrently on different threads
+    must not cross-clamp each other's exchanges. List-like surface
+    (append/extend/clear/iter/bool/eq) so call sites read naturally."""
+
+    def __init__(self):
+        import threading
+        self._tl = threading.local()
+
+    def _lst(self) -> list:
+        lst = getattr(self._tl, "lst", None)
+        if lst is None:
+            lst = self._tl.lst = []
+        return lst
+
+    def append(self, v) -> None:
+        self._lst().append(v)
+
+    def extend(self, vs) -> None:
+        self._lst().extend(vs)
+
+    def clear(self) -> None:
+        self._lst().clear()
+
+    def __iter__(self):
+        return iter(self._lst())
+
+    def __len__(self) -> int:
+        return len(self._lst())
+
+    def __bool__(self) -> bool:
+        return bool(self._lst())
+
+    def __eq__(self, other) -> bool:
+        return self._lst() == other
+
+
 #: Per-query input-size hint (bytes of the parquet inputs the current
 #: registered query reads), appended by the read-path helpers in
 #: pipelines.queries and cleared by the query registry wrapper before
 #: each build. When present, ``partition_map`` clamps its exchange
-#: width to ~one partition per _PART_TARGET_BYTES of input (floor 2,
-#: cap = the caller's scale-design width): hash-shuffle aggregator
-#: fixed costs dominate tiny exchanges, and partition_map results are
-#: partition-count-invariant by design (asserted by the scale-
-#: invariance tests), so the clamp changes physical width only.
-#: Queries are built sequentially (driver / bench / tests), so a
-#: module global is safe here.
-INPUT_SIZE_HINT: list[int] = []
+#: width to ~one partition per _PART_TARGET_BYTES of input (floor
+#: ``_PART_FLOOR`` = 8, cap = the caller's scale-design width):
+#: hash-shuffle aggregator fixed costs dominate tiny exchanges, and
+#: partition_map results are partition-count-invariant by design
+#: (asserted by the scale-invariance tests), so the clamp changes
+#: physical width only. Ordering assumption: a query build reads
+#: (and hints) all its inputs BEFORE the partition_map call — a
+#: table first read after the exchange is built does not widen it.
+#: Thread-local so concurrent query builders can't cross-clamp.
+INPUT_SIZE_HINT = _ThreadLocalSizeHint()
 
 _PART_TARGET_BYTES = 4 << 20
 

@@ -93,6 +93,25 @@ def test_flagship_matches_oracle(name, sql_fn, sf_small):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_export_order_front_loads_oracled_queries():
+    """VERDICT r3 #1: the driver's correctness gate checks a fixed
+    PREFIX of ``queries()`` — the exported order must put flagship
+    oracles first, every oracled query before any rows-only one, and
+    drop nothing."""
+    from nuclei_feature_extraction_ray.pipelines.queries import (
+        _DYNAMIC_ORACLED, all_queries)
+    names = list(all_queries())
+    assert set(names) == set(QUERIES)
+    oracled = set(ORACLE) | set(_DYNAMIC_ORACLED)
+    assert names[0] == "pages_features_core"
+    assert set(names[:9]) == set(_DYNAMIC_ORACLED)
+    n_oracled = len(oracled)
+    assert all(n in oracled for n in names[:n_oracled])
+    assert all(n not in oracled for n in names[n_oracled:])
+    # the driver's window is 50 entries: all must be oracled
+    assert n_oracled >= 50
+
+
 def test_all_oracle_sql_includes_flagship():
     import __ray_entry__ as e
     oras = e.oracle_sql()

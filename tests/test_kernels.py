@@ -344,11 +344,50 @@ def test_clamped_parts_floor_cap_and_no_hint():
         P.INPUT_SIZE_HINT.extend(saved)
 
 
-def test_registry_wrapper_clears_size_hint():
+def test_registry_wrapper_clears_size_hint(sf_small):
     """A registered query leaves no stale hint behind (pipelines built
     outside the registry — the bench headline — must see none)."""
     from nuclei_feature_extraction_ray.pipelines.queries import QUERIES
     from nuclei_feature_extraction_ray.stages import partition as P
 
-    QUERIES["doc_sample"]("/root/testdata/sf0.001")
+    QUERIES["doc_sample"](sf_small)
     assert P.INPUT_SIZE_HINT == []
+
+
+def test_size_hint_is_thread_local():
+    """Concurrent query builders (one per thread) must not cross-clamp
+    each other's exchange widths via the shared module global."""
+    import threading
+
+    from nuclei_feature_extraction_ray.stages import partition as P
+
+    P.INPUT_SIZE_HINT.clear()
+    P.INPUT_SIZE_HINT.append(1 << 30)
+    seen: dict = {}
+
+    def other():
+        seen["before"] = list(P.INPUT_SIZE_HINT)
+        P.INPUT_SIZE_HINT.append(1 << 10)
+        seen["after"] = list(P.INPUT_SIZE_HINT)
+
+    t = threading.Thread(target=other)
+    t.start()
+    t.join()
+    assert seen["before"] == []            # other thread saw no hint
+    assert seen["after"] == [1 << 10]
+    assert P.INPUT_SIZE_HINT == [1 << 30]  # ours untouched by theirs
+    P.INPUT_SIZE_HINT.clear()
+
+
+def test_read_dim_guard_raises_on_fact_sized_table(sf_small):
+    """The broadcast-dimension guard rejects an over-sized table on
+    parquet METADATA, before reading any bytes."""
+    import pytest as _pytest
+
+    from nuclei_feature_extraction_ray.pipelines.queries import _read_dim
+
+    path = sf_small + "/customer.parquet"
+    df = _read_dim(path, ["c_custkey"])          # normal: fits
+    assert len(df) > 1
+    with _pytest.raises(ValueError, match="too large to broadcast"):
+        _read_dim(path, ["c_custkey"], max_rows=1)
