@@ -127,6 +127,102 @@ def md5_shingles(tokens: list[str], n: int = 3) -> np.ndarray:
          for g in grams], np.uint64))
 
 
+def md5_upper64_flat(strs) -> np.ndarray:
+    """``int(md5(s).hexdigest()[:16], 16)`` for EVERY string in one
+    vectorized C kernel (DuckDB ``md5_number_upper`` = the first 8
+    digest bytes little-endian; byteswap == hex order). Projection
+    over an Arrow scan preserves row order. Replaces the per-string
+    hashlib loops in the md5 oracle twins — same values bit-for-bit.
+    """
+    import duckdb
+    import pyarrow as pa
+    if len(strs) == 0:
+        return np.empty(0, np.uint64)
+    tb = pa.table({"s": pa.array(list(strs), pa.string())})  # noqa: F841
+    out = duckdb.connect().execute(
+        "SELECT md5_number_upper(s) AS h FROM tb").arrow()
+    return out["h"].to_numpy(zero_copy_only=False).byteswap()
+
+
+def md5_hex_flat(strs) -> np.ndarray:
+    """``md5(s.encode()).hexdigest()`` for every string — one
+    vectorized DuckDB kernel (order-preserving projection)."""
+    import duckdb
+    import pyarrow as pa
+    if len(strs) == 0:
+        return np.empty(0, dtype=object)
+    tb = pa.table({"s": pa.array(list(strs), pa.string())})  # noqa: F841
+    out = duckdb.connect().execute(
+        "SELECT md5(s) AS h FROM tb").arrow()
+    return np.asarray(out["h"].to_pylist(), dtype=object)
+
+
+def _grams_of_tokens(tokens: list[str], n: int) -> list[str]:
+    if len(tokens) < n:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i:i + n])
+            for i in range(len(tokens) - n + 1)]
+
+
+def md5_shingles_batch(token_lists, n: int = 3) -> list[np.ndarray]:
+    """``md5_shingles`` across a whole batch of documents with ONE
+    md5 kernel call for all grams (values identical per doc)."""
+    grams = [_grams_of_tokens(t, n) for t in token_lists]
+    hv = md5_upper64_flat([g for gs in grams for g in gs])
+    out, pos = [], 0
+    for gs in grams:
+        out.append(np.unique(hv[pos:pos + len(gs)]))
+        pos += len(gs)
+    return out
+
+
+def md5_token_hashes_batch(texts) -> list[np.ndarray]:
+    """``md5_token_hashes`` across a batch — one md5 kernel for every
+    token of every document (values identical per doc). Non-string /
+    empty rows yield empty arrays (the drop_empty contract)."""
+    toks = []
+    for text in texts:
+        t = text.strip(" \t\n\r\f") if isinstance(text, str) else ""
+        toks.append(_WS_RUN.split(t) if t else [])
+    hv = md5_upper64_flat([w for ws in toks for w in ws])
+    out, pos = [], 0
+    for ws in toks:
+        out.append(hv[pos:pos + len(ws)].astype(np.uint64))
+        pos += len(ws)
+    return out
+
+
+def winnow_fingerprint_md5_batch(texts, k: int = 8,
+                                 window: int = 16) -> list[list[str]]:
+    """``winnow_fingerprint_md5`` across a batch — all char k-grams
+    hashed by one md5 kernel, per-doc window minima unchanged."""
+    grams: list[list[str]] = []
+    for text in texts:
+        t = text if isinstance(text, str) else ""
+        n = len(t)
+        if n == 0:
+            grams.append([])
+        elif n < k:
+            grams.append([t])
+        else:
+            grams.append([t[i:i + k] for i in range(n - k + 1)])
+    hv = md5_upper64_flat([g for gs in grams for g in gs])
+    out, pos = [], 0
+    for gs in grams:
+        h = hv[pos:pos + len(gs)]
+        pos += len(gs)
+        if not len(h):
+            out.append([])
+            continue
+        if len(h) <= window:
+            mins = h.min(keepdims=True)
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(h, window)
+            mins = np.unique(sw.min(axis=1))
+        out.append(["%016x" % m for m in np.unique(mins)])
+    return out
+
+
 def minhash_signatures(shingle_sets: list[np.ndarray], k: int = 64,
                        seed: int = 7) -> np.ndarray:
     """MinHash signatures, shape (n_docs, k) uint64.

@@ -18,7 +18,6 @@ driver-oracle-able (the same pattern as hashing.md5_shingles).
 
 from __future__ import annotations
 
-import hashlib
 import re
 import unicodedata
 
@@ -38,10 +37,10 @@ def normalize_series(texts: pd.Series) -> pd.Series:
 
 
 def normalize_frame(texts: pd.Series) -> pd.DataFrame:
+    from .hashing import md5_hex_flat
     norm = normalize_series(texts)
     return pd.DataFrame({
-        "norm_md5": [hashlib.md5(t.encode("utf-8")).hexdigest()
-                     for t in norm],
+        "norm_md5": md5_hex_flat(list(norm)),
         "n_chars_norm": norm.str.len().to_numpy(np.int64),
     })
 

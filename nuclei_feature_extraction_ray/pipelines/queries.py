@@ -412,12 +412,13 @@ def minhash_pairs_md5(sf_dir: str):
     lane-agreement verify) but every hash is reproducible in DuckDB,
     so the whole probabilistic op is driver-oracled EXACTLY (the
     doc_fingerprint_md5 pattern)."""
-    from ..functions.hashing import md5_shingles
+    from ..functions.hashing import md5_shingles_batch
     ds = rd.read_parquet(_path(sf_dir, "documents"),
                          columns=["doc_id", "text"])
     return dedup_mod.minhash_lsh_pairs(
         ds, "text", "doc_id", ngram=JACCARD_NGRAM, threshold=0.2,
-        shingle_fn=lambda toks: md5_shingles(toks, JACCARD_NGRAM))
+        shingle_batch_fn=lambda tls: md5_shingles_batch(
+            tls, JACCARD_NGRAM))
 
 
 @register("simhash_pairs")  # not SQL-expressible -> rows-only check
@@ -459,12 +460,12 @@ def simhash_pairs_md5(sf_dir: str):
     reproducible in DuckDB, so the op is driver-oracled (the
     doc_fingerprint_md5 pattern). Empty/whitespace-only docs are
     dropped on both sides (they all share signature 0)."""
-    from ..functions.hashing import md5_token_hashes
+    from ..functions.hashing import md5_token_hashes_batch
     ds = rd.read_parquet(_path(sf_dir, "documents"),
                          columns=["doc_id", "text"])
-    return dedup_mod.simhash_pairs(ds, "text", "doc_id", max_hamming=3,
-                                   token_hash_fn=md5_token_hashes,
-                                   drop_empty=True)
+    return dedup_mod.simhash_pairs(
+        ds, "text", "doc_id", max_hamming=3,
+        token_hash_batch_fn=md5_token_hashes_batch, drop_empty=True)
 
 
 @register("doc_langid", sql=langid_sql())
@@ -711,13 +712,12 @@ def doc_fingerprint_md5(sf_dir: str):
     the winnowing op gets a driver-verified oracle (VERDICT r2 #6).
     Fixed-width lowercase hex == numeric order, so window minima and
     fp_min/fp_max agree across engines by construction."""
-    from ..functions.hashing import winnow_fingerprint_md5
+    from ..functions.hashing import winnow_fingerprint_md5_batch
     ds = rd.read_parquet(_path(sf_dir, "documents"),
                          columns=["doc_id", "text"])
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        fps = [winnow_fingerprint_md5(t if isinstance(t, str) else "")
-               for t in batch["text"]]
+        fps = winnow_fingerprint_md5_batch(list(batch["text"]))
         return pd.DataFrame({
             "doc_id": batch["doc_id"].to_numpy(),
             "n_fingerprints": np.asarray([len(f) for f in fps],
@@ -2134,8 +2134,8 @@ def pages_latest(sf_dir: str):
     per url BEFORE the exchange (text never crosses it — only length,
     md5, and counts), then ONE url-hash exchange and a per-partition
     fold. Failed reads (null text) are dropped at the read (M5)."""
-    import hashlib
     from ..corpus import corpus_dir
+    from ..functions.hashing import md5_hex_flat
     d = corpus_dir(_corpus_scale(sf_dir))
     pages = rd.read_parquet(_pages_path(d),
                             columns=["url", "warc_ts", "text"],
@@ -2144,8 +2144,7 @@ def pages_latest(sf_dir: str):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         tsmax = b.groupby("url")["warc_ts"].transform("max")
         top = b[b["warc_ts"] == tsmax].copy()
-        top["md5"] = [hashlib.md5(t.encode()).hexdigest()
-                      for t in top["text"]]
+        top["md5"] = md5_hex_flat(list(top["text"]))
         top["ln"] = top["text"].str.len().astype(np.int64)
         a = b.groupby("url", as_index=False).agg(
             n=("warc_ts", "size"), ts_max=("warc_ts", "max"))
@@ -2290,8 +2289,8 @@ def pages_drift(sf_dir: str):
     one vectorized shift + compare per partition. change_rate is a
     single IEEE division of two exact ints — deterministic under any
     fold order."""
-    import hashlib
     from ..corpus import corpus_dir
+    from ..functions.hashing import md5_hex_flat
     d = corpus_dir(_corpus_scale(sf_dir))
     pages = rd.read_parquet(_pages_path(d),
                             columns=["url", "warc_ts", "text"],
@@ -2299,8 +2298,7 @@ def pages_drift(sf_dir: str):
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[["url", "warc_ts"]].assign(
-            h=[hashlib.md5(t.encode()).hexdigest()
-               for t in b["text"]])
+            h=md5_hex_flat(list(b["text"])))
         return b.groupby(["url", "warc_ts"], as_index=False).agg(
             h=("h", "min"))
 
@@ -3138,31 +3136,35 @@ def epoch_shuffle(sf_dir: str):
     ds = rd.read_parquet(_path(sf_dir, "documents"),
                          columns=["doc_id"])
 
-    class Key:
-        def __init__(self):
-            import duckdb
-            self.con = duckdb.connect()
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        # Plain task (not an actor pool): duckdb's import is cached
+        # per worker process and a connection is ~ms, so tasks avoid
+        # the ~2 s actor-pool spawn that dominated this stage.
+        import duckdb
+        ids = pa.table({"doc_id": pa.array(
+            batch["doc_id"].to_numpy(np.int64), pa.int64())})
+        out = duckdb.connect().execute(
+            "SELECT md5_number_upper(CAST(doc_id AS VARCHAR)"
+            " || ':%d') AS hu,"
+            " md5_number_lower(CAST(doc_id AS VARCHAR)"
+            " || ':%d') AS hl FROM ids"
+            % (SHUFFLE_SEED, SHUFFLE_SEED)).arrow()
+        # DuckDB returns each 8-byte half LITTLE-endian; byteswap
+        # to big-endian so uint64 order == md5 hex-string order.
+        h_hi = out["hu"].to_numpy(zero_copy_only=False).byteswap()
+        h_lo = out["hl"].to_numpy(zero_copy_only=False).byteswap()
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(np.int64),
+            "h_hi": h_hi,
+            "h_lo": h_lo,
+            "bucket": (h_hi >> np.uint64(56)).astype(np.int64)})
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            ids = pa.table({"doc_id": pa.array(
-                batch["doc_id"].to_numpy(np.int64), pa.int64())})
-            out = self.con.execute(
-                "SELECT md5_number_upper(CAST(doc_id AS VARCHAR)"
-                " || ':%d') AS hu,"
-                " md5_number_lower(CAST(doc_id AS VARCHAR)"
-                " || ':%d') AS hl FROM ids"
-                % (SHUFFLE_SEED, SHUFFLE_SEED)).arrow()
-            # DuckDB returns each 8-byte half LITTLE-endian; byteswap
-            # to big-endian so uint64 order == md5 hex-string order.
-            h_hi = out["hu"].to_numpy(zero_copy_only=False).byteswap()
-            h_lo = out["hl"].to_numpy(zero_copy_only=False).byteswap()
-            return pd.DataFrame({
-                "doc_id": batch["doc_id"].to_numpy(np.int64),
-                "h_hi": h_hi,
-                "h_lo": h_lo,
-                "bucket": (h_hi >> np.uint64(56)).astype(np.int64)})
-
-    keyed = ds.map_batches(Key, batch_format="pandas", concurrency=2)
+    # Materialize the NARROW keyed rows (doc_id + two uint64 keys +
+    # bucket, 32 B/row — the text never entered): both the histogram
+    # pass and the rank exchange consume them, and a lazy Dataset
+    # would re-run the read+md5 per consumer. Spillable object-store
+    # blocks, not driver memory — safe at any corpus size.
+    keyed = ds.map_batches(key, batch_format="pandas").materialize()
 
     def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("bucket", as_index=False).agg(n=("doc_id", "size"))
@@ -3643,14 +3645,15 @@ def near_dedup_keep_md5(sf_dir: str):
     ``near_dedup_keep`` (fast in-engine hash), every tier of the
     near-dedup decision pipeline is either SQL-oracled or
     pytest-pinned to an oracled twin."""
-    from ..functions.hashing import md5_shingles
+    from ..functions.hashing import md5_shingles_batch
     from ..stages.graph import attach_clusters, connected_components
 
     ds = rd.read_parquet(_path(sf_dir, "documents"),
                          columns=["doc_id", "text"])
     pairs = dedup_mod.minhash_lsh_pairs(
         ds, "text", "doc_id", ngram=JACCARD_NGRAM, threshold=0.2,
-        shingle_fn=lambda toks: md5_shingles(toks, JACCARD_NGRAM))
+        shingle_batch_fn=lambda tls: md5_shingles_batch(
+            tls, JACCARD_NGRAM))
     cc = connected_components(pairs, "a", "b", num_partitions=8)
     ids = rd.read_parquet(_path(sf_dir, "documents"),
                           columns=["doc_id"])
@@ -4071,7 +4074,7 @@ def weighted_sample(sf_dir: str):
     scale shape. Deterministic (seedless md5 of the id) and therefore
     retry-idempotent AND SQL-oracle-exact: ln/division is the same
     IEEE expression tree in numpy and DuckDB."""
-    import hashlib
+    from ..functions.hashing import md5_upper64_flat
 
     K = 50
     ds = rd.read_parquet(_path(sf_dir, "documents"),
@@ -4080,9 +4083,7 @@ def weighted_sample(sf_dir: str):
     def block_topk(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["n_chars"].to_numpy(np.int64) > 0]
         ids = b["doc_id"].to_numpy(np.int64)
-        h = np.asarray([int(hashlib.md5(str(i).encode())
-                            .hexdigest()[:16], 16) for i in ids],
-                       np.uint64)
+        h = md5_upper64_flat([str(i) for i in ids])
         u = h.astype(np.float64) / 18446744073709551616.0
         k = np.log(u) / b["n_chars"].to_numpy(np.int64)
         out = pd.DataFrame({"doc_id": ids,

@@ -244,7 +244,7 @@ def _attach_sig(pairs_ds, sigs_ds, key_col: str, new_col: str,
 def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
                       num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.2, num_partitions: int = 16,
-                      shingle_fn=None):
+                      shingle_fn=None, shingle_batch_fn=None):
     """Candidate pairs from LSH banding, verified by SIGNATURE
     AGREEMENT: jaccard_est = fraction of the k MinHash lanes equal —
     an unbiased estimator of Jaccard (stderr ~ sqrt(s(1-s)/k)).
@@ -262,7 +262,11 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
     def sig(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pandas()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        shingles = [shingles_of(t) for t in _tokenize(texts)]
+        # batch hook: one vectorized hash kernel across ALL docs'
+        # grams (the md5 twins) instead of a per-doc hash loop
+        shingles = (shingle_batch_fn(_tokenize(texts))
+                    if shingle_batch_fn else
+                    [shingles_of(t) for t in _tokenize(texts)])
         # Zero-shingle (empty / whitespace-only) docs are dropped HERE:
         # their all-max sentinel signatures would otherwise share LSH
         # buckets and agree on every lane, pairing all empty docs at
@@ -398,7 +402,8 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
 
 def simhash_pairs(ds, text_col: str, id_col: str,
                   max_hamming: int = 3, num_partitions: int = 16,
-                  token_hash_fn=None, drop_empty: bool = False):
+                  token_hash_fn=None, token_hash_batch_fn=None,
+                  drop_empty: bool = False):
     """Pairs with SimHash hamming distance <= max_hamming. With 4
     16-bit bands, any pair within distance 3 shares at least one exact
     band (pigeonhole) — candidate generation loses nothing.
@@ -415,8 +420,10 @@ def simhash_pairs(ds, text_col: str, id_col: str,
     def sig(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pandas()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        th = [hfn(t) if isinstance(t, str) and t else
-              np.empty(0, np.uint64) for t in texts]
+        th = (token_hash_batch_fn(list(texts))
+              if token_hash_batch_fn else
+              [hfn(t) if isinstance(t, str) and t else
+               np.empty(0, np.uint64) for t in texts])
         if drop_empty:
             keep = np.asarray([len(x) > 0 for x in th], bool)
             th = [x for x in th if len(x)]
