@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "dup_spans_apply", "lang_zscore", "weighted_sample",
     "pages_domain_cap", "pages_drift", "vocab_heavy_approx",
     "quality_band_by_lang", "gopher_rules",
+    # round-4 additions
+    "blocklist_filter", "lang_balanced_sample", "multimodal_resize",
 ]
 
 

@@ -144,6 +144,26 @@ def md5_upper64_flat(strs) -> np.ndarray:
     return out["h"].to_numpy(zero_copy_only=False).byteswap()
 
 
+def md5_id64_flat(ids, suffix: str) -> tuple[np.ndarray, np.ndarray]:
+    """(hi, lo) big-endian uint64 halves of ``md5(str(id) + suffix)``
+    for an int64 id array — string building AND hashing both inside
+    one DuckDB kernel (no per-row Python). (hi, lo) order equals the
+    md5 hex-string order, so rankings built on these match a SQL
+    ``ORDER BY md5(...)`` bit-for-bit."""
+    import duckdb
+    import pyarrow as pa
+    if len(ids) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    tb = pa.table({"i": pa.array(
+        np.asarray(ids, np.int64), pa.int64())})  # noqa: F841
+    out = duckdb.connect().execute(
+        "SELECT md5_number_upper(CAST(i AS VARCHAR) || ?) AS hu,"
+        " md5_number_lower(CAST(i AS VARCHAR) || ?) AS hl FROM tb",
+        [suffix, suffix]).arrow()
+    return (out["hu"].to_numpy(zero_copy_only=False).byteswap(),
+            out["hl"].to_numpy(zero_copy_only=False).byteswap())
+
+
 def md5_hex_flat(strs) -> np.ndarray:
     """``md5(s.encode()).hexdigest()`` for every string — one
     vectorized DuckDB kernel (order-preserving projection)."""

@@ -1567,7 +1567,59 @@ def embedding_near_dup(sf_dir: str):
 # multimodal plumbing (codec stubbed; Ray-side real)
 # ===========================================================================
 
-@register("multimodal_decode")  # binary features -> rows-only check
+def _decode_sql() -> str:
+    """Recomputed oracle for ``multimodal_decode`` (the _resize_sql
+    pattern): the fake payload's body is the FULL UTF-8 byte string of
+    ``text`` (header w = length(text) % 640, h = 480), and DecodeMedia
+    emits population byte moments + entropy over it. Bytes unnest to
+    one row each (oracle scale only); mean is one exact-int division;
+    squares are identical float64 values in both engines (sum-order
+    error ~1e-11 « the 5e-7 round-6 boundary); rounding is the shared
+    half-away convention."""
+    return """
+    WITH raw AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb,
+             length(text) % 640 AS w
+      FROM documents
+    ), px AS (
+      SELECT doc_id, hx, nb, unnest(range(nb)) AS i
+      FROM raw WHERE nb > 0
+    ), pv AS (
+      SELECT doc_id, nb,
+             CAST('0x' || substring(hx, 2 * i + 1, 2) AS INTEGER) AS v
+      FROM px
+    ), mu AS (
+      SELECT doc_id, sum(v) / CAST(any_value(nb) AS DOUBLE) AS m,
+             CAST(any_value(nb) AS DOUBLE) AS n
+      FROM pv GROUP BY doc_id
+    ), sd AS (
+      SELECT p.doc_id,
+             sqrt(sum((p.v - mu.m) * (p.v - mu.m)) / mu.n) AS s
+      FROM pv p JOIN mu ON p.doc_id = mu.doc_id
+      GROUP BY p.doc_id, mu.n
+    ), ec AS (
+      SELECT doc_id, v, CAST(count(*) AS DOUBLE) AS c,
+             CAST(any_value(nb) AS DOUBLE) AS n
+      FROM pv GROUP BY doc_id, v
+    ), ent AS (
+      SELECT doc_id, -sum((c / n) * log2(c / n)) AS e
+      FROM ec GROUP BY doc_id
+    )
+    SELECT r.doc_id,
+           CAST(r.w AS BIGINT) AS width,
+           CAST(480 AS BIGINT) AS height,
+           CAST(r.nb AS BIGINT) AS n_payload_bytes,
+           round(mu.m, 6) AS byte_mean,
+           round(sd.s, 6) AS byte_std,
+           round(ent.e, 6) AS byte_entropy
+    FROM raw r
+    LEFT JOIN mu ON r.doc_id = mu.doc_id
+    LEFT JOIN sd ON r.doc_id = sd.doc_id
+    LEFT JOIN ent ON r.doc_id = ent.doc_id"""
+
+
+@register("multimodal_decode", sql=_decode_sql())
 def multimodal_decode(sf_dir: str):
     """Binary-payload pipeline: documents' text bytes wrapped in a fake
     media container, decoded by the actor-pool stub stage."""
@@ -3138,23 +3190,13 @@ def epoch_shuffle(sf_dir: str):
 
     def key(batch: pd.DataFrame) -> pd.DataFrame:
         # Plain task (not an actor pool): duckdb's import is cached
-        # per worker process and a connection is ~ms, so tasks avoid
-        # the ~2 s actor-pool spawn that dominated this stage.
-        import duckdb
-        ids = pa.table({"doc_id": pa.array(
-            batch["doc_id"].to_numpy(np.int64), pa.int64())})
-        out = duckdb.connect().execute(
-            "SELECT md5_number_upper(CAST(doc_id AS VARCHAR)"
-            " || ':%d') AS hu,"
-            " md5_number_lower(CAST(doc_id AS VARCHAR)"
-            " || ':%d') AS hl FROM ids"
-            % (SHUFFLE_SEED, SHUFFLE_SEED)).arrow()
-        # DuckDB returns each 8-byte half LITTLE-endian; byteswap
-        # to big-endian so uint64 order == md5 hex-string order.
-        h_hi = out["hu"].to_numpy(zero_copy_only=False).byteswap()
-        h_lo = out["hl"].to_numpy(zero_copy_only=False).byteswap()
+        # per worker process, so tasks avoid the ~2 s actor-pool
+        # spawn that dominated this stage.
+        from ..functions.hashing import md5_id64_flat
+        ids = batch["doc_id"].to_numpy(np.int64)
+        h_hi, h_lo = md5_id64_flat(ids, ":%d" % SHUFFLE_SEED)
         return pd.DataFrame({
-            "doc_id": batch["doc_id"].to_numpy(np.int64),
+            "doc_id": ids,
             "h_hi": h_hi,
             "h_lo": h_lo,
             "bucket": (h_hi >> np.uint64(56)).astype(np.int64)})
@@ -4560,6 +4602,111 @@ def pii_redact(sf_dir: str):
         return pa.table(cols)
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+#: C4/Dolma-style token blocklist ("bad words" filter): a document
+#: containing ANY blocklisted token is dropped from the training mix.
+#: Tokens drawn from the synthetic vocabulary so both outcomes occur.
+_BLOCKLIST = ("dup", "skew", "spill")
+
+
+@register("blocklist_filter", sql="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(text, E' \\t\\n\\r\\f'),
+                                '[ \\t\\n\\r\\f]+') AS w
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(list_filter(w, x -> list_contains(
+               ['{b0}', '{b1}', '{b2}'], x))) AS BIGINT) AS n_blocked,
+           len(list_filter(w, x -> list_contains(
+               ['{b0}', '{b1}', '{b2}'], x))) = 0 AS kept
+    FROM d""".format(b0=_BLOCKLIST[0], b1=_BLOCKLIST[1],
+                     b2=_BLOCKLIST[2]))
+def blocklist_filter(sf_dir: str):
+    """Token-blocklist document filter (the C4 "bad words" pass):
+    count blocklisted tokens per document and flag survivors, keeping
+    the count as an audit column (the gopher_rules convention).
+
+    Scale shape: stateless map-only — tokens flatten once per batch,
+    membership is ONE sorted-array probe over the flattened stream
+    (np.searchsorted against the sorted blocklist, the decontaminate
+    probe), per-doc counts come from cumsum differences. No shuffle,
+    no driver state; a real blocklist (thousands of terms) broadcasts
+    once via ray.put the same way."""
+    from ..stages.dedup import _tokenize
+
+    bl = np.sort(np.asarray(_BLOCKLIST, dtype=object))
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokenize(b["text"])
+        sizes = np.fromiter((len(t) for t in toks), np.int64,
+                            len(toks))
+        flat = np.asarray([w for t in toks for w in t], dtype=object)
+        memb = (_sorted_member(bl, flat).astype(np.int64)
+                if len(flat) else np.empty(0, np.int64))
+        cs = np.concatenate(([0], np.cumsum(memb)))
+        off = np.concatenate(([0], np.cumsum(sizes)))
+        nb = (cs[off[1:]] - cs[off[:-1]]).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "lang": b["lang"].to_numpy(),
+            "n_blocked": nb,
+            "kept": nb == 0})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+#: docs kept per language by lang_balanced_sample
+_BALANCE_K = 40
+
+
+@register("lang_balanced_sample", sql="""
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':bal'),
+                          doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {k}""".format(k=_BALANCE_K))
+def lang_balanced_sample(sf_dir: str):
+    """Language-balanced deterministic subset: exactly K documents per
+    language, chosen by a seeded md5 permutation — the per-language
+    quota step of balancing a multilingual training mix (a hot
+    language would otherwise drown the tail languages). Reproducible
+    across retries and oracle-exact (the epoch_shuffle hash order).
+
+    Scale shape: per-block partial top-K per language (each block
+    shrinks to <= langs x K rows BEFORE the exchange), then one
+    lang-hash exchange and a per-partition final top-K + rank — the
+    topk_per_group plan with the md5 permutation as the sort key."""
+    from ..functions.hashing import md5_id64_flat
+    from ..stages.partition import partition_map
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["lang", "doc_id"])
+
+    def keyed_topk(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        h_hi, h_lo = md5_id64_flat(ids, ":bal")
+        d = pd.DataFrame({"lang": b["lang"].to_numpy(),
+                          "doc_id": ids, "h_hi": h_hi, "h_lo": h_lo})
+        d = d.sort_values(["h_hi", "h_lo", "doc_id"], kind="mergesort")
+        return d.groupby("lang", sort=False).head(_BALANCE_K)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h_hi", "h_lo", "doc_id"], kind="mergesort")
+        g = g.groupby("lang", sort=False).head(_BALANCE_K).copy()
+        g["rk"] = g.groupby("lang", sort=False).cumcount() \
+            .to_numpy(np.int64) + 1
+        return g[["lang", "doc_id", "rk"]]
+
+    return partition_map(ds.map_batches(keyed_topk,
+                                        batch_format="pandas"),
+                         ["lang"], final_topk, 8)
 
 
 #: Flagship oracles pinned to the FRONT of the exported query order.
