@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "quality_band_by_lang", "gopher_rules",
     # round-4 additions
     "blocklist_filter", "lang_balanced_sample", "multimodal_resize",
+    "rolling_median", "ewma", "session_concurrency",
+    "quality_classifier",
 ]
 
 

@@ -45,8 +45,10 @@ from ..stages.multimodal import DecodeMedia, make_payload
 from ..stages import partition as partition_stage
 from ..stages.partition import partitioned_apply
 from ..stages.rangejoin import range_join
-from ..stages.window import (add_backfill, add_lag_lead, add_rolling_rows,
-                             add_session_ids, session_aggregate)
+from ..stages.window import (add_backfill, add_ewma_rows, add_lag_lead,
+                             add_rolling_quantiles, add_rolling_rows,
+                             add_session_ids, concurrency_sweep,
+                             session_aggregate)
 from ..util import configure_context
 
 QUERIES: dict = {}
@@ -774,6 +776,75 @@ def rolling_stats(sf_dir: str):
                              sort_cols=["user_id", "ts", "event_id"])
 
 
+@register("rolling_median", sql="""
+    SELECT event_id, user_id, ts,
+           round(quantile_cont(value, 0.5)  OVER w5, 6) AS roll5_median,
+           round(quantile_cont(value, 0.25) OVER w5, 6) AS roll5_q25,
+           round(quantile_cont(value, 0.75) OVER w5, 6) AS roll5_q75
+    FROM events
+    WINDOW w5 AS ({w} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """.format(w=_EVW))
+def rolling_median(sf_dir: str):
+    """Trailing-window ORDER-STATISTIC features (rolling median /
+    IQR bounds) — robust-aggregate siblings of rolling_stats that
+    prefix sums cannot express (stages/window.add_rolling_quantiles:
+    one sorted shifted-copy matrix per partition, DuckDB's
+    quantile_cont interpolation formula bit-for-bit). Scale shape is
+    identical to rolling_stats: one user_id-hash exchange, per-
+    partition sort, O(n·window) vectorized kernel."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = add_rolling_quantiles(g, "user_id", "value", 5,
+                                  {"roll5_median": 0.5,
+                                   "roll5_q25": 0.25,
+                                   "roll5_q75": 0.75})
+        g = _r6(g, ["roll5_median", "roll5_q25", "roll5_q75"])
+        return g[["event_id", "user_id", "ts", "roll5_median",
+                  "roll5_q25", "roll5_q75"]]
+
+    return partitioned_apply(ds, "user_id", fn, EVENTS_P,
+                             sort_cols=["user_id", "ts", "event_id"])
+
+
+#: ewma: exact binary alpha so 1-alpha is exact and the numpy fold
+#: is bit-identical to DuckDB's list_reduce fold.
+EWMA_ALPHA = 0.25
+EWMA_WINDOW = 20
+
+@register("ewma", sql="""
+    SELECT event_id, user_id, ts,
+           round(list_reduce(list(value) OVER w20,
+                 (acc, x) -> acc * {b} + x * {a}), 6) AS ewma20
+    FROM events
+    WINDOW w20 AS ({w} ROWS BETWEEN {k} PRECEDING AND CURRENT ROW)
+    """.format(w=_EVW, a=EWMA_ALPHA, b=1.0 - EWMA_ALPHA,
+               k=EWMA_WINDOW - 1))
+def ewma(sf_dir: str):
+    """Exponentially-weighted moving average per entity over a BOUNDED
+    trailing window (stages/window.add_ewma_rows): the sequential
+    recurrence is folded as window-1 masked vectorized passes, bit-
+    identical to the oracle's list_reduce fold. Bounding the window
+    (20 rows ~ alpha 0.25 decays to 0.3% weight) is the scale choice:
+    it caps state, makes the kernel O(n·window) vectorized, and keeps
+    the op salt-splittable for hot entities exactly like the other
+    trailing windows."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = add_ewma_rows(g, "user_id", "value", EWMA_WINDOW,
+                          EWMA_ALPHA, "ewma20")
+        # half-AWAY r6: the fold's dyadic rationals (2-decimal inputs
+        # x powers of 0.75/0.25) land exactly on 5e-7 boundaries where
+        # numpy's half-to-even diverges from DuckDB round().
+        from ..functions.texture import r6
+        g["ewma20"] = r6(g["ewma20"].to_numpy())
+        return g[["event_id", "user_id", "ts", "ewma20"]]
+
+    return partitioned_apply(ds, "user_id", fn, EVENTS_P,
+                             sort_cols=["user_id", "ts", "event_id"])
+
+
 @register("sessionize", sql="""
     SELECT event_id, user_id, ts,
            CAST(sum(CASE WHEN gap_sec IS NULL OR gap_sec > {gap}
@@ -820,6 +891,93 @@ def session_stats(sf_dir: str):
 
     return partitioned_apply(ds, "user_id", fn, EVENTS_P,
                              sort_cols=["user_id", "ts"])
+
+
+@register("session_concurrency", sql="""
+    WITH s AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN gap_sec IS NULL OR gap_sec > {gap}
+                 THEN 1 ELSE 0 END)
+               OVER ({w} ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM (SELECT *, epoch(ts - lag(ts) OVER ({w})) AS gap_sec
+            FROM events)),
+    b AS (SELECT user_id, session_id,
+                 min(ts) AS start_ts, max(ts) AS end_ts
+          FROM s GROUP BY user_id, session_id),
+    d AS (SELECT *, unnest(generate_series(
+              date_trunc('day', start_ts), date_trunc('day', end_ts),
+              INTERVAL 1 DAY)) AS day
+          FROM b),
+    seg AS (SELECT day,
+                   greatest(start_ts, day) AS s_ts,
+                   least(end_ts, day + INTERVAL 1 DAY
+                                     - INTERVAL 1 MICROSECOND) AS e_ts
+            FROM d),
+    ev AS (SELECT day, s_ts AS ts, 1 AS delta FROM seg
+           UNION ALL
+           SELECT day, e_ts AS ts, -1 AS delta FROM seg),
+    c AS (SELECT day, delta,
+                 sum(delta) OVER (PARTITION BY day
+                     ORDER BY ts, delta DESC
+                     ROWS UNBOUNDED PRECEDING) AS cur
+          FROM ev)
+    SELECT day, CAST(max(cur) AS BIGINT) AS max_concurrent,
+           CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT)
+             AS n_sessions
+    FROM c GROUP BY day""".format(gap=SESSION_GAP_SEC, w=_EVW))
+def session_concurrency(sf_dir: str):
+    """Peak session concurrency per calendar day: gap-sessionize per
+    user, then a sweep line over session intervals (+1 at start, -1 at
+    end, starts before ends on boundary ties — closed intervals).
+
+    Scale shape: the global sweep is made embarrassingly parallel by
+    CLIPPING each session to the days it covers (a session contributes
+    one [max(start, day), min(end, day_end)] segment per day), so each
+    day's sweep is independent — phase 1 is the same user_id exchange
+    as session_stats emitting only (day, ts, ±1) boundary rows, phase
+    2 one day-hash exchange + the vectorized segment-cumsum sweep
+    (stages/window.concurrency_sweep). No global sort, no driver
+    materialization; a 10^12-row corpus still exchanges only
+    O(sessions · days_spanned) 24-byte rows."""
+    from ..stages.partition import partition_map
+
+    DAY = 86_400_000_000
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = add_session_ids(g, "user_id", "ts", SESSION_GAP_SEC)
+        b = g.groupby(["user_id", "session_id"], sort=False) \
+             .agg(start=("ts", "min"), end=("ts", "max")).reset_index()
+        s_us = b["start"].to_numpy("datetime64[us]").astype(np.int64)
+        e_us = b["end"].to_numpy("datetime64[us]").astype(np.int64)
+        s_day, e_day = s_us // DAY, e_us // DAY
+        n_days = (e_day - s_day + 1).astype(np.int64)
+        total = int(n_days.sum())
+        rep = np.repeat(np.arange(len(b)), n_days)
+        # day index within each session's span, fully vectorized
+        off = np.arange(total) - np.repeat(
+            np.cumsum(n_days) - n_days, n_days)
+        day = (s_day[rep] + off) * DAY
+        seg_s = np.maximum(s_us[rep], day)
+        seg_e = np.minimum(e_us[rep], day + DAY - 1)
+        return pd.DataFrame({
+            "day_us": np.concatenate([day, day]),
+            "ts_us": np.concatenate([seg_s, seg_e]),
+            "delta": np.concatenate([
+                np.ones(total, np.int64),
+                np.full(total, -1, np.int64)]),
+        })
+
+    ev = partitioned_apply(ds, "user_id", sessions, EVENTS_P,
+                           sort_cols=["user_id", "ts"])
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        out = concurrency_sweep(g, "day_us", "ts_us", "delta")
+        out["day"] = out["day_us"].to_numpy(np.int64) \
+                                  .astype("datetime64[us]")
+        return out[["day", "max_concurrent", "n_sessions"]]
+
+    return partition_map(ev, ["day_us"], sweep, 8)
 
 
 @register("asof_quote", sql="""
@@ -3053,6 +3211,92 @@ def _gopher_sql() -> str:
         symr=sym_ratio, minw=g["min_words"], maxw=g["max_words"],
         minl=g["min_mwl"], maxl=g["max_mwl"], mins=g["min_stop"],
         mina=g["min_alpha_frac"], maxs=g["max_sym_ratio"])
+
+
+#: quality_classifier hashed-linear-model constants: feature space of
+#: 1024 md5 buckets; the per-bucket weight is a deterministic INTEGER
+#: micro-logit derived from the bucket id (Knuth multiplicative mix),
+#: standing in for trained fasttext-style weights shipped with a job.
+_QC_BUCKETS = 1024
+_QC_MIX = 2654435761
+_QC_BIAS = 12345
+_QC_MOD = 2000001
+
+
+@register("quality_classifier", sql="""
+    WITH docs AS (
+      SELECT doc_id, trim(text, E' \\t\\n\\r\\f') AS t FROM documents),
+    words AS (
+      SELECT doc_id,
+             unnest(string_split_regex(t, '[ \\t\\n\\r\\f]+')) AS term
+      FROM docs WHERE t <> ''),
+    w AS (
+      SELECT doc_id,
+             (CAST(('0x' || substr(md5(term), 1, 16))::UBIGINT
+                   % {nb} AS BIGINT) * {mix} + {bias})
+               % {md} - {half} AS wt
+      FROM words),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(wt) AS BIGINT) AS score_micro
+      FROM w GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.score_micro, 0) AS score_micro,
+           round(1.0 / (1.0 + exp(-(CAST(coalesce(a.score_micro, 0)
+                 AS DOUBLE) / greatest(coalesce(a.n_tokens, 0), 1)
+                 / 1000000.0))), 6) AS prob,
+           CAST(coalesce(a.score_micro, 0) > 0 AS BIGINT) AS keep
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN agg a USING (doc_id)""".format(
+        nb=_QC_BUCKETS, mix=_QC_MIX, bias=_QC_BIAS, md=_QC_MOD,
+        half=(_QC_MOD - 1) // 2))
+def quality_classifier(sf_dir: str):
+    """Fasttext-style linear quality classifier: hashed bag-of-words
+    (md5 token hash -> one of 1024 buckets) scored by a fixed
+    per-bucket weight vector, mean-pooled into a logit and squashed to
+    a keep probability — the model-scoring step of a CCNet/Gopher-style
+    curation pipeline (the weights here are deterministic
+    bucket-derived integers so the op is fully driver-oracle-able; a
+    real deployment swaps in trained weights via ray.put broadcast,
+    identical plumbing). Float policy: per-token weights are INTEGER
+    micro-logits summed exactly (fold-order-free, like lm_score's
+    micro-nats); the single final sigmoid is one deterministic double
+    expression. Map-only: no shuffle, no driver state — tokens are
+    hashed by one vectorized md5 C kernel per batch
+    (functions/hashing.md5_upper64_flat)."""
+    from ..functions.hashing import md5_upper64_flat
+    from ..stages.dedup import _tokenize
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    half = (_QC_MOD - 1) // 2
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokenize(batch["text"])
+        lens = np.asarray([len(t) for t in toks], np.int64)
+        flat = [w for ws in toks for w in ws]
+        score = np.zeros(len(toks), np.int64)
+        if flat:
+            hv = md5_upper64_flat(flat)
+            b = (hv % _QC_BUCKETS).astype(np.int64)
+            wt = (b * _QC_MIX + _QC_BIAS) % _QC_MOD - half
+            nz = lens > 0
+            off = np.zeros(len(toks), np.int64)
+            off[1:] = np.cumsum(lens)[:-1]
+            score[nz] = np.add.reduceat(wt, off[nz])
+        prob = 1.0 / (1.0 + np.exp(
+            -(score / np.maximum(lens, 1) / 1e6)))
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "n_tokens": lens,
+            "score_micro": score,
+            "prob": prob,
+            "keep": (score > 0).astype(np.int64),
+        })
+        return _r6(out, ["prob"])
+
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 @register("gopher_rules", sql=_gopher_sql())

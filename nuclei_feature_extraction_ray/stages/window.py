@@ -172,6 +172,110 @@ def add_rolling_rows(g: pd.DataFrame, key: str, col: str, window: int,
     return g
 
 
+def _window_matrix(vals: np.ndarray, codes: np.ndarray,
+                   window: int) -> np.ndarray:
+    """(n, window) matrix of each row's trailing window values (NaN
+    where the window is clipped by the entity boundary) — built from
+    ``window - 1`` vectorized shifted copies, no per-row Python."""
+    n = len(vals)
+    mat = np.full((n, window), np.nan)
+    if n == 0:
+        return mat
+    mat[:, 0] = vals
+    idx = np.arange(n)
+    for s in range(1, window):
+        src = idx - s
+        ok = src >= 0
+        ok[ok] &= codes[src[ok]] == codes[idx[ok]]
+        mat[ok, s] = vals[src[ok]]
+    return mat
+
+
+def add_rolling_quantiles(g: pd.DataFrame, key: str, col: str,
+                          window: int, qs: dict[str, float]) -> pd.DataFrame:
+    """Trailing row-window ORDER-STATISTIC aggregates (continuous
+    quantiles) per entity — the windowed kernel ``windowed_stats``'
+    prefix sums cannot express. Bounded ``window`` keeps it vectorized:
+    an (n, window) shifted-copy matrix is sorted once, then every
+    requested quantile is DuckDB's ``quantile_cont`` formula
+    ``lo * (1 - frac) + hi * frac`` at ``idx = q * (count - 1)`` —
+    verified bit-identical to ``quantile_cont(col) OVER (... ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)``. Sorted-frame
+    precondition, as every kernel in this module."""
+    codes = segment_codes(g[key].to_numpy())
+    mat = _window_matrix(g[col].to_numpy(np.float64), codes, window)
+    mat.sort(axis=1)                          # NaN sorts to the end
+    n = len(mat)
+    cnt = window - np.isnan(mat).sum(axis=1)
+    rows = np.arange(n)
+    for name, q in qs.items():
+        pos = q * (cnt - 1)
+        lo = np.floor(pos).astype(np.int64)
+        frac = pos - lo
+        hi = np.minimum(lo + 1, np.maximum(cnt - 1, 0))
+        g[name] = mat[rows, lo] * (1.0 - frac) + mat[rows, hi] * frac
+    return g
+
+
+def add_ewma_rows(g: pd.DataFrame, key: str, col: str, window: int,
+                  alpha: float, out_col: str) -> pd.DataFrame:
+    """Trailing bounded-window EWMA per entity: the sequential
+    recurrence ``acc = acc * (1 - alpha) + x * alpha`` folded left to
+    right over the trailing ``window`` rows, initialised at the oldest
+    row in the window. Vectorized as ``window - 1`` masked numpy
+    passes, each performing exactly the per-element fold step — so the
+    result is bit-identical to DuckDB's
+    ``list_reduce(list(col) OVER w, (acc, x) -> acc*(1-a) + x*a)``
+    (verified; pick alpha with an exact binary representation so
+    ``1 - alpha`` is exact too). Bounding the window is what makes the
+    fold salt-safe at scale: a hot entity can be split into overlapping
+    time buckets exactly like ``salted_time_windows``."""
+    codes = segment_codes(g[key].to_numpy())
+    lefts = row_window_lefts(codes, window)
+    v = g[col].to_numpy(np.float64)
+    idx = np.arange(len(v))
+    acc = v[lefts].copy() if len(v) else np.empty(0)
+    for s in range(1, window):
+        pos = lefts + s
+        m = pos <= idx
+        acc[m] = acc[m] * (1.0 - alpha) + v[pos[m]] * alpha
+    g[out_col] = acc
+    return g
+
+
+def concurrency_sweep(g: pd.DataFrame, group_col: str, ts_col: str,
+                      delta_col: str) -> pd.DataFrame:
+    """Interval-overlap sweep line over (+1 start / -1 end) boundary
+    events, one independent sweep per ``group_col`` value: sort by
+    ``(ts, delta DESC)`` (starts before ends on ties — closed
+    intervals overlap at their boundary), running-sum the deltas, and
+    report the per-group maximum concurrency plus the interval count.
+    Vectorized across ALL groups in the frame via segment-wise cumsum
+    (one np.lexsort + np.maximum.reduceat, no per-group Python)."""
+    order = np.lexsort((-g[delta_col].to_numpy(np.int64),
+                        g[ts_col].to_numpy(np.int64),
+                        g[group_col].to_numpy()))
+    grp = g[group_col].to_numpy()[order]
+    delta = g[delta_col].to_numpy(np.int64)[order]
+    codes = segment_codes(grp)
+    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) \
+        if len(codes) else np.empty(0, np.int64)
+    run = np.cumsum(delta)
+    # subtract each segment's preceding total to restart the cumsum
+    base = np.zeros(len(delta), np.int64)
+    if len(starts) > 1:
+        base = np.repeat(np.r_[0, run[starts[1:] - 1]],
+                         np.diff(np.r_[starts, len(delta)]))
+    seg_run = run - base
+    mx = np.maximum.reduceat(seg_run, starts) if len(starts) else \
+        np.empty(0, np.int64)
+    n_iv = np.add.reduceat((delta > 0).astype(np.int64), starts) \
+        if len(starts) else np.empty(0, np.int64)
+    return pd.DataFrame({group_col: grp[starts],
+                         "max_concurrent": mx.astype(np.int64),
+                         "n_sessions": n_iv})
+
+
 def add_rolling_time(g: pd.DataFrame, key: str, ts_col: str, col: str,
                      span: pd.Timedelta, prefix: str) -> pd.DataFrame:
     """Trailing TIME-window aggregates (rows with ts in

@@ -391,3 +391,84 @@ def test_read_dim_guard_raises_on_fact_sized_table(sf_small):
     assert len(df) > 1
     with _pytest.raises(ValueError, match="too large to broadcast"):
         _read_dim(path, ["c_custkey"], max_rows=1)
+
+
+def test_rolling_quantiles_vs_bruteforce():
+    """add_rolling_quantiles == per-row brute-force quantile with the
+    DuckDB quantile_cont interpolation formula, across entities and
+    clipped windows."""
+    import pandas as pd
+
+    from nuclei_feature_extraction_ray.stages.window import \
+        add_rolling_quantiles
+
+    rng = np.random.RandomState(7)
+    n = 400
+    g = pd.DataFrame({
+        "k": np.sort(rng.randint(0, 9, n)),
+        "v": rng.rand(n),
+    })
+    g = add_rolling_quantiles(g, "k", "v", 5,
+                              {"q50": 0.5, "q25": 0.25, "q75": 0.75})
+    ks = g["k"].to_numpy()
+    vs = g["v"].to_numpy()
+    for i in range(n):
+        lo = i
+        while lo > 0 and ks[lo - 1] == ks[i] and i - lo < 4:
+            lo -= 1
+        w = np.sort(vs[lo:i + 1])
+        for name, q in (("q50", .5), ("q25", .25), ("q75", .75)):
+            pos = q * (len(w) - 1)
+            j = int(np.floor(pos))
+            frac = pos - j
+            hj = min(j + 1, len(w) - 1)
+            want = w[j] * (1.0 - frac) + w[hj] * frac
+            assert g[name].iloc[i] == want, (i, name)
+
+
+def test_ewma_rows_vs_sequential_fold():
+    """add_ewma_rows' masked vectorized passes == the literal
+    sequential recurrence over each row's trailing window."""
+    import pandas as pd
+
+    from nuclei_feature_extraction_ray.stages.window import add_ewma_rows
+
+    rng = np.random.RandomState(11)
+    n = 300
+    g = pd.DataFrame({
+        "k": np.sort(rng.randint(0, 5, n)),
+        "v": rng.rand(n),
+    })
+    out = add_ewma_rows(g.copy(), "k", "v", 20, 0.25, "e")
+    ks = g["k"].to_numpy()
+    vs = g["v"].to_numpy()
+    for i in range(n):
+        lo = i
+        while lo > 0 and ks[lo - 1] == ks[i] and i - lo < 19:
+            lo -= 1
+        acc = vs[lo]
+        for j in range(lo + 1, i + 1):
+            acc = acc * 0.75 + vs[j] * 0.25
+        assert out["e"].iloc[i] == acc, i
+
+
+def test_concurrency_sweep_hand_case():
+    """Sweep-line edge semantics: closed intervals overlap at the
+    boundary (start ties before end), zero-length intervals count, and
+    groups sweep independently."""
+    import pandas as pd
+
+    from nuclei_feature_extraction_ray.stages.window import \
+        concurrency_sweep
+
+    # group 0: [0,10], [10,20] (touch at 10 -> concurrent), [15,15]
+    # group 1: [0,5] alone
+    g = pd.DataFrame({
+        "day": np.array([0, 0, 0, 0, 0, 0, 1, 1], np.int64),
+        "ts": np.array([0, 10, 10, 20, 15, 15, 0, 5], np.int64),
+        "delta": np.array([1, -1, 1, -1, 1, -1, 1, -1], np.int64),
+    })
+    out = concurrency_sweep(g, "day", "ts", "delta") \
+        .sort_values("day").reset_index(drop=True)
+    assert out["max_concurrent"].tolist() == [2, 1]
+    assert out["n_sessions"].tolist() == [3, 1]
