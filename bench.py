@@ -66,7 +66,8 @@ BENCH_QUERIES = [
     # round-4 additions
     "blocklist_filter", "lang_balanced_sample", "multimodal_resize",
     "rolling_median", "ewma", "session_concurrency",
-    "quality_classifier",
+    "quality_classifier", "dsir_weights", "rolling_distinct",
+    "asof_quote_fwd",
 ]
 
 

@@ -807,6 +807,33 @@ def rolling_median(sf_dir: str):
                              sort_cols=["user_id", "ts", "event_id"])
 
 
+@register("rolling_distinct", sql="""
+    SELECT event_id, user_id, ts,
+           CAST(len(list_distinct(list(event_type) OVER w8))
+                AS BIGINT) AS roll8_types
+    FROM events
+    WINDOW w8 AS ({w} ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    """.format(w=_EVW))
+def rolling_distinct(sf_dir: str):
+    """Trailing-window DISTINCT count (behavioural-diversity feature:
+    how many distinct event types in the user's last 8 events) —
+    SQL window aggregates cannot take DISTINCT, and neither prefix
+    sums nor monotonic deques express it; the bounded window makes it
+    a factorize + sorted shifted-copy matrix + adjacent-inequality
+    scan (stages/window.add_rolling_distinct), vectorized end to end.
+    Same single user_id exchange as every windowed op."""
+    from ..stages.window import add_rolling_distinct
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = add_rolling_distinct(g, "user_id", "event_type", 8,
+                                 "roll8_types")
+        return g[["event_id", "user_id", "ts", "roll8_types"]]
+
+    return partitioned_apply(ds, "user_id", fn, EVENTS_P,
+                             sort_cols=["user_id", "ts", "event_id"])
+
+
 #: ewma: exact binary alpha so 1-alpha is exact and the numpy fold
 #: is bit-identical to DuckDB's list_reduce fold.
 EWMA_ALPHA = 0.25
@@ -1003,6 +1030,33 @@ def asof_quote(sf_dir: str):
     return asof_join(probes, snaps, key="user_id", probe_ts="ts",
                      snap_ts="view_ts", value_cols=["view_value"],
                      num_partitions=EVENTS_P)
+
+
+@register("asof_quote_fwd", sql="""
+    SELECT p.event_id, p.user_id, p.ts,
+           v.ts AS view_ts, v.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts <= v.ts""")
+def asof_quote_fwd(sf_dir: str):
+    """FORWARD as-of join: each purchase sees the EARLIEST view of the
+    same user at-or-after it — the next-snapshot lookup used to label
+    outcomes in backtests (J3's direction mirror; same single-exchange
+    sort-merge plan, pandas C merge with direction='forward')."""
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type",
+                          "value"])
+    probes = ev.filter(expr="event_type == 'purchase'") \
+               .select_columns(["event_id", "user_id", "ts"])
+    snaps = ev.filter(expr="event_type == 'view'") \
+              .select_columns(["user_id", "ts", "value"])
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["user_id", "view_ts", "view_value"])
+
+    snaps = snaps.map_batches(rn, batch_format="pyarrow")
+    return asof_join(probes, snaps, key="user_id", probe_ts="ts",
+                     snap_ts="view_ts", value_cols=["view_value"],
+                     num_partitions=EVENTS_P, direction="forward")
 
 
 @register("asof_quote_tol", sql="""
@@ -2704,6 +2758,159 @@ def doc_tfidf(sf_dir: str):
                 "tf": np.asarray(tfs, np.int64),
                 "df": np.asarray(dfs, np.int64),
                 "score": np.asarray(scores, np.float64)})
+
+    return ds.map_batches(Score, batch_format="pandas", concurrency=2)
+
+
+#: DSIR hashed-feature space (Xie et al. 2023, "Data Selection for
+#: Language Models via Importance Resampling"): word bigrams hashed
+#: into a fixed bucket table so both n-gram LMs are B-dimensional.
+_DSIR_BUCKETS = 8192
+
+
+@register("dsir_weights", sql="""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split_regex(trim(text, E' \\t\\n\\r\\f'),
+                                '[ \\t\\n\\r\\f]+') AS w
+      FROM documents WHERE trim(text, E' \\t\\n\\r\\f') <> ''),
+    feat AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 16))::UBIGINT
+                  % {B} AS BIGINT) AS b
+      FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i+1])) AS g
+            FROM docs WHERE len(w) >= 2)),
+    craw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr
+             FROM feat GROUP BY b),
+    ctgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+             FROM feat WHERE doc_id % 97 = 0 GROUP BY b),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS tr,
+                   CAST(count(*) FILTER (WHERE doc_id % 97 = 0)
+                        AS BIGINT) AS tt
+            FROM feat),
+    tf AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf
+           FROM feat GROUP BY doc_id, b),
+    contrib AS (
+      SELECT doc_id, tf,
+             CAST(floor(tf * ln(((coalesce(ct, 0) + 1.0)
+                        * (tr + {B}.0))
+                        / ((cr + 1.0) * (tt + {B}.0)))
+                  * 1000000 + 0.5) AS BIGINT) AS m
+      FROM tf JOIN craw USING (b) LEFT JOIN ctgt USING (b)
+      CROSS JOIN tot),
+    agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+                   CAST(sum(m) AS BIGINT) AS logw_micro
+            FROM contrib GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_feats, 0) AS n_feats,
+           coalesce(a.logw_micro, 0) AS logw_micro,
+           {r6} AS avg_logw
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN agg a USING (doc_id)""".format(
+        B=_DSIR_BUCKETS,
+        r6="""CASE WHEN (CAST(coalesce(a.logw_micro, 0) AS DOUBLE)
+              / greatest(coalesce(a.n_feats, 0), 1) / 1000000.0) >= 0
+         THEN floor(CAST(coalesce(a.logw_micro, 0) AS DOUBLE)
+              / greatest(coalesce(a.n_feats, 0), 1) / 1000000.0
+              * 1000000 + 0.5) / 1000000
+         ELSE -floor(-(CAST(coalesce(a.logw_micro, 0) AS DOUBLE)
+              / greatest(coalesce(a.n_feats, 0), 1) / 1000000.0)
+              * 1000000 + 0.5) / 1000000 END"""))
+def dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by how much more likely its hashed word-bigram features are under
+    the TARGET distribution (the deterministic ``doc_id % 97`` holdout,
+    decontaminate's convention — a real run substitutes the benchmark/
+    domain corpus) than under the raw-corpus distribution — the
+    importance-resampling step that tilts a 100-TB crawl toward a
+    target domain.
+
+    Scale shape: both n-gram "LMs" live in a FIXED 8192-bucket hashed
+    feature space, so phase A is per-batch bincount partials (<= B
+    rows each) -> one bucket exchange -> a B-bounded combine, and the
+    two count vectors broadcast once via ray.put (64 KiB — never a
+    shuffle). Phase B is map-only scoring. Float policy: per
+    (doc, bucket) contributions become INTEGER micro-nats via the
+    identical floor(tf * ln(ratio) * 1e6 + 0.5) expression in numpy
+    and SQL (lm_score's recipe), so per-doc sums are exact integers;
+    the final avg is one deterministic half-away-r6 expression."""
+    from ..functions.hashing import md5_upper64_flat
+    from ..functions.texture import r6
+    from ..stages.dedup import _tokenize
+    from ..stages.partition import partition_map
+
+    B = _DSIR_BUCKETS
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def feat_buckets(batch: pd.DataFrame):
+        """Per-batch (flat bucket array, per-doc bigram counts)."""
+        toks = _tokenize(batch["text"])
+        grams: list[str] = []
+        lens = np.empty(len(toks), np.int64)
+        for i, ws in enumerate(toks):
+            if len(ws) >= 2:
+                lens[i] = len(ws) - 1
+                grams.extend(ws[j] + " " + ws[j + 1]
+                             for j in range(len(ws) - 1))
+            else:
+                lens[i] = 0
+        b = (md5_upper64_flat(grams) % B).astype(np.int64) \
+            if grams else np.empty(0, np.int64)
+        return b, lens
+
+    def cnt_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b, lens = feat_buckets(batch)
+        ids = batch["doc_id"].to_numpy(np.int64)
+        doc_of = np.repeat(np.arange(len(ids)), lens)
+        raw = np.bincount(b, minlength=B).astype(np.int64)
+        tgt = np.bincount(b[(ids % 97 == 0)[doc_of]],
+                          minlength=B).astype(np.int64)
+        nz = (raw > 0) | (tgt > 0)
+        return pd.DataFrame({"b": np.flatnonzero(nz).astype(np.int64),
+                             "cr": raw[nz], "ct": tgt[nz]})
+
+    def cnt_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("b", as_index=False).agg(cr=("cr", "sum"),
+                                                 ct=("ct", "sum"))
+        return out.astype({"cr": np.int64, "ct": np.int64})
+
+    cnts = partition_map(ds.map_batches(cnt_partial,
+                                        batch_format="pandas"),
+                         ["b"], cnt_combine, 8) \
+        .limit(B + 1).to_pandas()
+    if len(cnts) > B:                      # impossible by construction
+        raise ValueError("dsir_weights: bucket table exceeded B")
+    craw = np.zeros(B, np.int64)
+    ctgt = np.zeros(B, np.int64)
+    craw[cnts["b"].to_numpy()] = cnts["cr"].to_numpy()
+    ctgt[cnts["b"].to_numpy()] = cnts["ct"].to_numpy()
+    tr, tt = int(craw.sum()), int(ctgt.sum())
+    lnr = np.log(((ctgt + 1.0) * (tr + float(B)))
+                 / ((craw + 1.0) * (tt + float(B))))
+    ref = ray.put(lnr)
+
+    class Score:
+        def __init__(self):
+            self.lnr = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b, lens = feat_buckets(batch)
+            ids = batch["doc_id"].to_numpy(np.int64)
+            logw = np.zeros(len(ids), np.int64)
+            if len(b):
+                doc_of = np.repeat(np.arange(len(ids)), lens)
+                key = doc_of * B + b
+                uk, tf = np.unique(key, return_counts=True)
+                d, bb = uk // B, uk % B
+                m = np.floor(tf * self.lnr[bb] * 1e6 + 0.5) \
+                    .astype(np.int64)
+                starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+                logw[d[starts]] = np.add.reduceat(m, starts)
+            avg = r6(logw / np.maximum(lens, 1) / 1e6)
+            return pd.DataFrame({"doc_id": ids, "n_feats": lens,
+                                 "logw_micro": logw, "avg_logw": avg})
 
     return ds.map_batches(Score, batch_format="pandas", concurrency=2)
 

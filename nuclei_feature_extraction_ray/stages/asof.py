@@ -36,10 +36,14 @@ def _pandas_dtypes(ds, cols: list[str]) -> dict:
 
 def asof_join(probes, snapshots, key: str, probe_ts: str, snap_ts: str,
               value_cols: list[str], num_partitions: int = 32,
-              tolerance: pd.Timedelta | None = None):
+              tolerance: pd.Timedelta | None = None,
+              direction: str = "backward"):
     """Left as-of join: every probe row survives; matched rows carry the
     ``value_cols`` of the latest snapshot with ``snap_ts <= probe_ts``
     (within ``tolerance`` if given), else nulls.
+    ``direction="forward"`` flips the inequality: the EARLIEST snapshot
+    with ``snap_ts >= probe_ts`` (DuckDB ``ASOF ... ON p.ts <= v.ts``)
+    — the "next-snapshot" lookup of backtest labelling.
 
     Returns a Dataset with probe columns + ``snap_ts`` + value_cols.
     """
@@ -117,7 +121,7 @@ def asof_join(probes, snapshots, key: str, probe_ts: str, snap_ts: str,
                  for c in out_cols}))
         return to_output(local_asof_merge(
             pr, sn, key, probe_ts, snap_ts, value_cols, probe_cols,
-            tolerance=tolerance))
+            tolerance=tolerance, direction=direction))
 
     return partition_map(both, [key], merge, num_partitions)
 
@@ -126,8 +130,8 @@ def local_asof_merge(pr: pd.DataFrame, sn: pd.DataFrame, key: str,
                      probe_ts: str, snap_ts: str,
                      value_cols: list[str],
                      probe_cols: list[str],
-                     tolerance: pd.Timedelta | None = None
-                     ) -> pd.DataFrame:
+                     tolerance: pd.Timedelta | None = None,
+                     direction: str = "backward") -> pd.DataFrame:
     """Single-partition backward as-of merge. The snapshot side can be
     very wide (e.g. the 80+-column feature table): sorting/merging the
     full frame would copy every column for every snapshot row, so the
@@ -151,7 +155,7 @@ def local_asof_merge(pr: pd.DataFrame, sn: pd.DataFrame, key: str,
     merged = pd.merge_asof(
         pr[probe_cols], sn_keys,
         left_on=probe_ts, right_on=snap_ts, by=key,
-        direction="backward", allow_exact_matches=True,
+        direction=direction, allow_exact_matches=True,
         tolerance=tolerance)
     vals = sn[value_cols].reindex(merged["__i"].to_numpy()) \
         .reset_index(drop=True)

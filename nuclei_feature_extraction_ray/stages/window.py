@@ -217,6 +217,36 @@ def add_rolling_quantiles(g: pd.DataFrame, key: str, col: str,
     return g
 
 
+def add_rolling_distinct(g: pd.DataFrame, key: str, col: str,
+                         window: int, out_col: str) -> pd.DataFrame:
+    """Trailing row-window DISTINCT-count of a (categorical) column
+    per entity — the windowed aggregate neither prefix sums nor sparse
+    extreme tables can express. Values are factorized to int codes,
+    the bounded window becomes a shifted-copy int matrix (sentinel -1
+    where clipped), and one row-wise sort + adjacent-inequality scan
+    counts distincts — vectorized end to end. Matches DuckDB's
+    ``len(list_distinct(list(col) OVER w))``. Sorted-frame
+    precondition."""
+    codes = segment_codes(g[key].to_numpy())
+    vals, _ = pd.factorize(g[col], sort=False)
+    n = len(vals)
+    mat = np.full((n, window), -1, np.int64)
+    if n:
+        mat[:, 0] = vals
+        idx = np.arange(n)
+        for s in range(1, window):
+            src = idx - s
+            ok = src >= 0
+            ok[ok] &= codes[src[ok]] == codes[idx[ok]]
+            mat[ok, s] = vals[src[ok]]
+        mat.sort(axis=1)                      # sentinels sort first
+    valid = mat >= 0
+    neq = np.ones((n, window), bool)
+    neq[:, 1:] = mat[:, 1:] != mat[:, :-1]
+    g[out_col] = (valid & neq).sum(axis=1).astype(np.int64)
+    return g
+
+
 def add_ewma_rows(g: pd.DataFrame, key: str, col: str, window: int,
                   alpha: float, out_col: str) -> pd.DataFrame:
     """Trailing bounded-window EWMA per entity: the sequential

@@ -472,3 +472,42 @@ def test_concurrency_sweep_hand_case():
         .sort_values("day").reset_index(drop=True)
     assert out["max_concurrent"].tolist() == [2, 1]
     assert out["n_sessions"].tolist() == [3, 1]
+
+
+def test_rolling_distinct_vs_bruteforce():
+    """add_rolling_distinct == per-row set() over the trailing window."""
+    import pandas as pd
+
+    from nuclei_feature_extraction_ray.stages.window import \
+        add_rolling_distinct
+
+    rng = np.random.RandomState(3)
+    n = 300
+    g = pd.DataFrame({
+        "k": np.sort(rng.randint(0, 6, n)),
+        "v": rng.choice(list("abcd"), n),
+    })
+    out = add_rolling_distinct(g.copy(), "k", "v", 8, "d")
+    ks = g["k"].to_numpy()
+    vs = g["v"].to_numpy()
+    for i in range(n):
+        lo = i
+        while lo > 0 and ks[lo - 1] == ks[i] and i - lo < 7:
+            lo -= 1
+        assert out["d"].iloc[i] == len(set(vs[lo:i + 1])), i
+
+
+def test_asof_forward_direction_hand_case():
+    """local_asof_merge direction='forward' picks the EARLIEST snapshot
+    at-or-after the probe (inclusive), nulls past the last one."""
+    import pandas as pd
+
+    from nuclei_feature_extraction_ray.stages.asof import local_asof_merge
+
+    pr = pd.DataFrame({"k": [1, 1, 1], "ts": [10, 20, 99]})
+    sn = pd.DataFrame({"k": [1, 1, 1], "vts": [12, 20, 30],
+                       "val": ["a", "b", "c"]})
+    out = local_asof_merge(pr, sn, "k", "ts", "vts", ["val"],
+                           ["k", "ts"], direction="forward")
+    assert out["val"].tolist()[:2] == ["a", "b"]   # 20 matches exactly
+    assert pd.isna(out["val"].iloc[2])             # nothing after 99
