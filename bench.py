@@ -67,7 +67,7 @@ BENCH_QUERIES = [
     "blocklist_filter", "lang_balanced_sample", "multimodal_resize",
     "rolling_median", "ewma", "session_concurrency",
     "quality_classifier", "dsir_weights", "rolling_distinct",
-    "asof_quote_fwd",
+    "asof_quote_fwd", "session_funnel", "retention_cohorts",
 ]
 
 

@@ -920,6 +920,155 @@ def session_stats(sf_dir: str):
                              sort_cols=["user_id", "ts"])
 
 
+@register("session_funnel", sql="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(CASE WHEN gap_sec IS NULL OR gap_sec > {gap}
+                 THEN 1 ELSE 0 END)
+               OVER ({w} ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM (SELECT *, epoch(ts - lag(ts) OVER ({w})) AS gap_sec
+            FROM events)),
+    f AS (SELECT user_id, session_id,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 min(ts) FILTER (WHERE event_type = 'view') AS view_ts
+          FROM s GROUP BY user_id, session_id),
+    c AS (SELECT s.user_id, s.session_id, min(s.ts) AS click_ts
+          FROM s JOIN f USING (user_id, session_id)
+          WHERE s.event_type = 'click' AND s.ts >= f.view_ts
+          GROUP BY s.user_id, s.session_id),
+    p AS (SELECT s.user_id, s.session_id, min(s.ts) AS purchase_ts
+          FROM s JOIN c USING (user_id, session_id)
+          WHERE s.event_type = 'purchase' AND s.ts >= c.click_ts
+          GROUP BY s.user_id, s.session_id)
+    SELECT f.user_id, CAST(f.session_id AS BIGINT) AS session_id,
+           f.n_events, f.view_ts, c.click_ts, p.purchase_ts,
+           CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                     WHEN c.click_ts IS NOT NULL THEN 2
+                     WHEN f.view_ts IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage
+    FROM f LEFT JOIN c USING (user_id, session_id)
+           LEFT JOIN p USING (user_id, session_id)""".format(
+        gap=SESSION_GAP_SEC, w=_EVW))
+def session_funnel(sf_dir: str):
+    """Ordered funnel within sessions (view -> click -> purchase):
+    per (user, session), the first view, the first click AT-OR-AFTER
+    that view, the first purchase at-or-after that click, and the
+    funnel stage reached — sequential pattern matching, the session
+    analytics none of the plain aggregates express.
+
+    Scale shape: identical to session_stats — the ONE user_id exchange
+    co-locates each user's events, then the staged mins are three
+    masked groupby-min passes over the sorted partition (broadcast of
+    the previous stage's min back onto rows is a pandas merge inside
+    the partition, never a cluster join)."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = add_session_ids(g, "user_id", "ts", SESSION_GAP_SEC)
+        keys = ["user_id", "session_id"]
+        base = g.groupby(keys, sort=False).agg(
+            n_events=("ts", "size")).reset_index()
+        base["n_events"] = base["n_events"].astype(np.int64)
+
+        def staged_min(mask: pd.Series, name: str,
+                       after: pd.DataFrame | None) -> pd.DataFrame:
+            rows = g[mask]
+            if after is not None:
+                prev = after.columns[-1]
+                rows = rows.merge(after, on=keys, how="inner")
+                rows = rows[rows["ts"] >= rows[prev]]
+            out = rows.groupby(keys, sort=False) \
+                      .agg(**{name: ("ts", "min")}).reset_index()
+            return out
+
+        v = staged_min(g["event_type"] == "view", "view_ts", None)
+        c = staged_min(g["event_type"] == "click", "click_ts", v)
+        p = staged_min(g["event_type"] == "purchase", "purchase_ts", c)
+        out = base.merge(v, on=keys, how="left") \
+                  .merge(c, on=keys, how="left") \
+                  .merge(p, on=keys, how="left")
+        stage = np.zeros(len(out), np.int64)
+        stage[out["view_ts"].notna()] = 1
+        stage[out["click_ts"].notna()] = 2
+        stage[out["purchase_ts"].notna()] = 3
+        out["stage"] = stage
+        return out[["user_id", "session_id", "n_events", "view_ts",
+                    "click_ts", "purchase_ts", "stage"]]
+
+    return partitioned_apply(ds, "user_id", fn, EVENTS_P,
+                             sort_cols=["user_id", "ts", "event_id"])
+
+
+#: retention cohorts: Monday-aligned week truncation in integer day
+#: arithmetic (1970-01-05, day index 4, was a Monday) — matches
+#: DuckDB date_trunc('week', ts) exactly on naive timestamps.
+_WEEK_US = 7 * 86_400_000_000
+
+
+@register("retention_cohorts", sql="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+      FROM events),
+    fu AS (SELECT user_id, min(w) AS cw FROM act GROUP BY user_id)
+    SELECT cw AS cohort_week,
+           CAST((epoch(w) - epoch(cw)) / 604800 AS BIGINT)
+             AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act JOIN fu USING (user_id)
+    GROUP BY cohort_week, week_offset""")
+def retention_cohorts(sf_dir: str):
+    """Cohort retention: users grouped by first-activity week, counted
+    in every later week they return — the engagement matrix behind
+    retention curves.
+
+    Scale shape: per-batch DISTINCT (user, week) partials collapse the
+    event stream to at most users x weeks rows BEFORE the one user_id
+    exchange; each partition derives cohort = min(week) per user
+    locally and pre-aggregates (cohort, offset) counts, so the final
+    combine is bounded by weeks^2 cells (guarded), not by users."""
+    from ..stages.partition import partition_map
+
+    DAY = 86_400_000_000
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def act_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        us = batch["user_id"].to_numpy(np.int64)
+        ts_us = batch["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        day = ts_us // DAY
+        week = ((day - 4) // 7) * 7 + 4            # Monday-aligned
+        out = pd.DataFrame({"user_id": us, "week_day": week})
+        return out.drop_duplicates()
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "week_day"])
+        cw = g.groupby("user_id", sort=False)["week_day"] \
+              .transform("min")
+        off = (g["week_day"].to_numpy(np.int64)
+               - cw.to_numpy(np.int64)) // 7
+        out = pd.DataFrame({"cohort_day": cw.to_numpy(np.int64),
+                            "week_offset": off})
+        agg = out.groupby(["cohort_day", "week_offset"],
+                          as_index=False).size() \
+                 .rename(columns={"size": "n_users"})
+        agg["n_users"] = agg["n_users"].astype(np.int64)
+        return agg
+
+    parts = partition_map(
+        ds.map_batches(act_partial, batch_format="pandas"),
+        ["user_id"], per_user, EVENTS_P) \
+        .limit(_COMBINE_MAX_ROWS + 1).to_pandas()
+    if len(parts) > _COMBINE_MAX_ROWS:
+        raise ValueError("retention_cohorts: cohort matrix too large "
+                         "for the driver combine")
+    out = parts.groupby(["cohort_day", "week_offset"],
+                        as_index=False).agg(n_users=("n_users", "sum"))
+    out["cohort_week"] = (out["cohort_day"].to_numpy(np.int64)
+                          * DAY).astype("datetime64[us]")
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out["week_offset"] = out["week_offset"].astype(np.int64)
+    return out[["cohort_week", "week_offset", "n_users"]]
+
+
 @register("session_concurrency", sql="""
     WITH s AS (
       SELECT user_id, ts,
