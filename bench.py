@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "rolling_median", "ewma", "session_concurrency",
     "quality_classifier", "dsir_weights", "rolling_distinct",
     "asof_quote_fwd", "session_funnel", "retention_cohorts",
+    "rolling_corr", "bigram_pmi", "pages_url_features",
+    "boilerplate_strip",
 ]
 
 

@@ -615,6 +615,164 @@ def vocab_topk(sf_dir: str):
     return top.reset_index(drop=True)
 
 
+#: bigram_pmi: candidate floor and result size
+PMI_MIN_COUNT = 5
+PMI_K = 50
+
+
+@register("bigram_pmi", sql="""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split_regex(trim(text, E' \\t\\n\\r\\f'),
+                                '[ \\t\\n\\r\\f]+') AS w
+      FROM documents WHERE trim(text, E' \\t\\n\\r\\f') <> ''
+    ),
+    words AS (SELECT doc_id, unnest(w) AS tok,
+                     generate_subscripts(w, 1) AS pos
+              FROM docs),
+    ucnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+             FROM words GROUP BY tok),
+    nu AS (SELECT count(*) AS n FROM words),
+    big AS (SELECT a.tok AS w1, b.tok AS w2
+            FROM words a JOIN words b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    nb AS (SELECT count(*) AS n FROM big),
+    bcnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+             FROM big GROUP BY w1, w2
+             HAVING count(*) >= {m}),
+    scored AS (
+      SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+             round(ln((CAST(c_xy AS DOUBLE) * CAST(nu.n AS DOUBLE)
+                       * CAST(nu.n AS DOUBLE))
+                      / (CAST(nb.n AS DOUBLE) * CAST(u1.c AS DOUBLE)
+                         * CAST(u2.c AS DOUBLE))), 6) AS pmi
+      FROM bcnt JOIN ucnt u1 ON u1.tok = w1
+                JOIN ucnt u2 ON u2.tok = w2
+      CROSS JOIN nu CROSS JOIN nb)
+    SELECT w1, w2, c_xy, c_x, c_y, pmi
+    FROM scored ORDER BY pmi DESC, w1, w2 LIMIT {k}""".format(
+        m=PMI_MIN_COUNT, k=PMI_K))
+def bigram_pmi(sf_dir: str):
+    """Collocation mining: top-K adjacent-token bigrams by pointwise
+    mutual information ``ln(p(xy) / (p(x) p(y)))`` with a min-count
+    floor — the phrase-detection pass (word2vec-style phrasing, NER
+    gazetteer seeding) of a text pipeline.
+
+    Scale plan: phase A reuses the vocab exchange — per-batch unigram
+    partials (plus an ndocs sentinel) -> one token exchange -> the
+    count table broadcast ONCE under the same 20M-row guard as
+    doc_tfidf (min-count cutoff is the documented web-scale knob);
+    total bigrams need NO extra pass: every nonempty doc has exactly
+    len-1 bigrams, so n_bi = n_uni - n_docs. Phase B exchanges
+    per-batch (w1, w2, count) partials on the bigram key, filters to
+    the min-count floor per partition, attaches both word counts by
+    searchsorted against the broadcast, computes PMI as exact integer
+    counts entering ONE double expression in oracle order, and ships
+    only a per-partition top-K to the driver merge."""
+    from ..stages.dedup import _tokenize
+    from ..stages.partition import partition_map
+    from ..functions.texture import r6
+
+    SENTINEL = "\x00ndocs"
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["text"])
+
+    def uni_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks, ndocs = [], 0
+        for t in _tokenize(b["text"]):
+            if not t:
+                continue
+            ndocs += 1
+            toks.extend(t)
+        if not toks:
+            return pd.DataFrame({"tok": pd.Series(dtype=object),
+                                 "c": pd.Series(dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, object), return_counts=True)
+        out = pd.DataFrame({"tok": u, "c": c.astype(np.int64)})
+        return pd.concat([out, pd.DataFrame(
+            {"tok": [SENTINEL], "c": np.asarray([ndocs], np.int64)})],
+            ignore_index=True)
+
+    def uni_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("tok", as_index=False).agg(c=("c", "sum"))
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    ucnt = partition_map(ds.map_batches(uni_partial,
+                                        batch_format="pandas"),
+                         ["tok"], uni_combine, 16) \
+        .limit(20_000_001).to_pandas()
+    if len(ucnt) > 20_000_000:
+        raise ValueError("bigram_pmi: vocabulary too large to "
+                         "broadcast; raise PMI_MIN_COUNT / apply a "
+                         "min-count cutoff first")
+    n_docs = int(ucnt.loc[ucnt["tok"] == SENTINEL, "c"].iloc[0])
+    ucnt = ucnt[ucnt["tok"] != SENTINEL]
+    n_uni = int(ucnt["c"].sum())
+    n_bi = n_uni - n_docs
+    order = np.argsort(ucnt["tok"].to_numpy())
+    ref = ray.put((ucnt["tok"].to_numpy()[order],
+                   ucnt["c"].to_numpy(np.int64)[order]))
+
+    def bi_partial(b: pd.DataFrame) -> pd.DataFrame:
+        w1, w2 = [], []
+        for t in _tokenize(b["text"]):
+            if len(t) < 2:
+                continue
+            w1.extend(t[:-1])
+            w2.extend(t[1:])
+        if not w1:
+            return pd.DataFrame({"w1": pd.Series(dtype=object),
+                                 "w2": pd.Series(dtype=object),
+                                 "c_xy": pd.Series(dtype=np.int64)})
+        out = pd.DataFrame({"w1": w1, "w2": w2}).groupby(
+            ["w1", "w2"], as_index=False).size() \
+            .rename(columns={"size": "c_xy"})
+        out["c_xy"] = out["c_xy"].astype(np.int64)
+        return out
+
+    def top_pmi(g: pd.DataFrame) -> pd.DataFrame:
+        # broadcast fetch: per-task ray.get hits the node-local
+        # object store (zero-copy numpy), never re-ships per batch
+        toks, cs = ray.get(ref)
+        g = g.groupby(["w1", "w2"], as_index=False).agg(
+            c_xy=("c_xy", "sum"))
+        g = g[g["c_xy"] >= PMI_MIN_COUNT]
+        if not len(g):
+            return pd.DataFrame({
+                "w1": pd.Series(dtype=object),
+                "w2": pd.Series(dtype=object),
+                "c_xy": pd.Series(dtype=np.int64),
+                "c_x": pd.Series(dtype=np.int64),
+                "c_y": pd.Series(dtype=np.int64),
+                "pmi": pd.Series(dtype=np.float64)})
+        cx = cs[np.searchsorted(toks, g["w1"].to_numpy(object))]
+        cy = cs[np.searchsorted(toks, g["w2"].to_numpy(object))]
+        c_xy = g["c_xy"].to_numpy(np.int64)
+        num = c_xy.astype(np.float64) * float(n_uni) * float(n_uni)
+        den = float(n_bi) * cx.astype(np.float64) \
+            * cy.astype(np.float64)
+        out = pd.DataFrame({
+            "w1": g["w1"].to_numpy(object),
+            "w2": g["w2"].to_numpy(object),
+            "c_xy": c_xy.astype(np.int64),
+            "c_x": cx.astype(np.int64),
+            "c_y": cy.astype(np.int64),
+            "pmi": r6(np.log(num / den))})
+        out = out.sort_values(["pmi", "w1", "w2"],
+                              ascending=[False, True, True],
+                              kind="mergesort")
+        return out.head(PMI_K)
+
+    parts = partition_map(ds.map_batches(bi_partial,
+                                         batch_format="pandas"),
+                          ["w1", "w2"], top_pmi, 16).to_pandas()
+    top = parts.sort_values(["pmi", "w1", "w2"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(PMI_K)
+    return top.reset_index(drop=True)
+
+
 @register("vocab_heavy_approx")   # approximate sketch: no SQL oracle
 def vocab_heavy_approx(sf_dir: str):
     """SHUFFLE-FREE heavy-hitter vocabulary (the fixed-memory scale
@@ -829,6 +987,65 @@ def rolling_distinct(sf_dir: str):
         g = add_rolling_distinct(g, "user_id", "event_type", 8,
                                  "roll8_types")
         return g[["event_id", "user_id", "ts", "roll8_types"]]
+
+    return partitioned_apply(ds, "user_id", fn, EVENTS_P,
+                             sort_cols=["user_id", "ts", "event_id"])
+
+
+@register("rolling_corr", sql="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+             lag(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               OVER ({w}) AS y
+      FROM events),
+    a AS (
+      SELECT user_id, event_id, ts,
+             CAST(count(y) OVER wv AS BIGINT) AS n,
+             CAST(sum(CASE WHEN y IS NULL THEN 0 ELSE x END)
+                  OVER wv AS BIGINT) AS sx,
+             CAST(sum(coalesce(y, 0)) OVER wv AS BIGINT) AS sy,
+             CAST(sum(CASE WHEN y IS NULL THEN 0 ELSE x * x END)
+                  OVER wv AS BIGINT) AS sxx,
+             CAST(sum(coalesce(y * y, 0)) OVER wv AS BIGINT) AS syy,
+             CAST(sum(coalesce(x * y, 0)) OVER wv AS BIGINT) AS sxy
+      FROM s
+      WINDOW wv AS ({w} ROWS BETWEEN 15 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, ts, n AS n_pairs,
+           CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+           THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE)
+                                * CAST(sx AS DOUBLE))
+                         * sqrt(CAST(n AS DOUBLE)
+                                * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE)
+                                  * CAST(sy AS DOUBLE))), 6)
+           ELSE NULL END AS corr_lag1
+    FROM a""".format(w=_EVW))
+def rolling_corr(sf_dir: str):
+    """Trailing-window lag-1 autocorrelation of the value series per
+    user (momentum/mean-reversion feature) — the first BIVARIATE
+    windowed statistic in the registry. Bit-exactness comes from the
+    integer-micro-unit policy: values quantized to cents, the five
+    pair sums computed as exact int64 cumulative sums (fold-order-
+    free), and one final double expression evaluated in the identical
+    order as the oracle (stages/window.add_rolling_lag1_corr). Same
+    single user_id exchange as every windowed op; O(n) per partition
+    — no window matrix needed, prefix sums suffice."""
+    from ..stages.window import add_rolling_lag1_corr
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = add_rolling_lag1_corr(g, "user_id", "value", 16,
+                                  "corr_lag1", "n_pairs")
+        return g[["user_id", "event_id", "ts", "n_pairs",
+                  "corr_lag1"]]
 
     return partitioned_apply(ds, "user_id", fn, EVENTS_P,
                              sort_cols=["user_id", "ts", "event_id"])
@@ -2515,6 +2732,71 @@ def pages_domains(sf_dir: str):
         partial, batch_format="pyarrow"), "host", finish, 8)
 
 
+def pages_url_features_sql(scale: str) -> str:
+    """DuckDB oracle for ``pages_url_features``. DuckDB's
+    ``regexp_extract`` returns '' on no match — the Arrow side
+    ``fill_null('')``s to agree (the pages_domain_cap ADVICE fix)."""
+    return """
+    WITH p AS (
+      SELECT url, warc_ts,
+             regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+             regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+             regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)
+               AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM read_parquet('{glob}'))
+    SELECT url, warc_ts, scheme, host,
+           regexp_extract(host, '\\.([a-z0-9-]+)$', 1) AS tld,
+           CAST(len(regexp_extract_all(path, '/[^/]+')) AS BIGINT)
+             AS path_depth,
+           CAST(CASE WHEN query = '' THEN 0
+                ELSE len(string_split(query, '&')) END AS BIGINT)
+             AS n_params,
+           CAST(length(url) AS BIGINT) AS url_len
+    FROM p""".format(glob=_pages_glob(scale))
+
+
+@register("pages_url_features")   # SQL attached in all_oracle_sql
+def pages_url_features(sf_dir: str):
+    """URL parsing features per crawl row — scheme / host / TLD /
+    path depth / query-param count / length, the structural columns a
+    web-corpus quality or domain-mix stage keys on before any text is
+    touched.
+
+    Scale plan: PURE MAP, zero shuffle — five RE2 kernels
+    (``pc.extract_regex`` / ``count_substring_regex``) per Arrow
+    batch, no Python per row, text column never read."""
+    from ..corpus import corpus_dir
+    d = corpus_dir(_corpus_scale(sf_dir))
+    pages = rd.read_parquet(_pages_path(d), columns=["url", "warc_ts"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        url = b["url"]
+
+        def ex(src, pat, grp):
+            m = pc.extract_regex(src, pat)
+            return pc.fill_null(pc.struct_field(m, grp), "")
+
+        scheme = ex(url, r"^(?P<g>[a-z]+)://", "g")
+        host = ex(url, r"^[a-z]+://(?P<g>[^/]+)", "g")
+        path = ex(url, r"^[a-z]+://[^/?#]+(?P<g>[^?#]*)", "g")
+        query = ex(url, r"\?(?P<g>[^#]*)", "g")
+        tld = ex(host, r"\.(?P<g>[a-z0-9-]+)$", "g")
+        depth = pc.cast(pc.count_substring_regex(path, "/[^/]+"),
+                        pa.int64())
+        n_params = pc.if_else(
+            pc.equal(query, ""), pa.scalar(0, pa.int64()),
+            pc.cast(pc.add(pc.count_substring(query, "&"), 1),
+                    pa.int64()))
+        return pa.table({
+            "url": url, "warc_ts": b["warc_ts"], "scheme": scheme,
+            "host": host, "tld": tld, "path_depth": depth,
+            "n_params": n_params,
+            "url_len": pc.cast(pc.utf8_length(url), pa.int64())})
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
 def pages_latest_sql(scale: str) -> str:
     """DuckDB oracle for ``pages_latest``. Ties at the max timestamp
     (the corpus plants same-ts duplicate snapshots with differing
@@ -2791,6 +3073,79 @@ def line_dedup(sf_dir: str):
     hot = dedup_mod.hot_lines(pages, "text", "url",
                               min_docs=_LINE_DEDUP_MIN_DOCS)
     return dedup_mod.remove_hot_lines(pages, "text", hot)
+
+
+#: boilerplate_strip: a line is a host's template once it appears on
+#: >= this many DISTINCT urls of that host (the per-domain rule —
+#: line_dedup's global threshold counts urls across all hosts).
+_BOILER_MIN_URLS = 2
+
+
+def boilerplate_strip_sql(scale: str) -> str:
+    """DuckDB oracle for ``boilerplate_strip`` — per-host template
+    removal; ``rid`` keeps snapshot-row multiplicity exactly like
+    line_dedup_sql."""
+    return """
+    WITH p AS (SELECT url, warc_ts, text,
+                      regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+                        AS host,
+                      row_number() OVER (ORDER BY url, warc_ts) AS rid
+               FROM read_parquet('{glob}')
+               WHERE text IS NOT NULL),
+    lines AS (SELECT rid, host, url, warc_ts,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                       AS ord
+              FROM p),
+    hot AS (SELECT host, line FROM lines GROUP BY host, line
+            HAVING count(DISTINCT url) >= {m}),
+    mk AS (SELECT l.*, CASE WHEN hot.line IS NOT NULL THEN 1 ELSE 0
+                       END AS is_hot
+           FROM lines l LEFT JOIN hot
+             ON l.host = hot.host AND l.line = hot.line)
+    SELECT url, warc_ts, host,
+           coalesce(string_agg(line, chr(10) ORDER BY ord)
+                    FILTER (WHERE is_hot = 0), '') AS clean_text,
+           CAST(count(*) FILTER (WHERE is_hot = 0) AS BIGINT)
+             AS n_kept,
+           CAST(count(*) FILTER (WHERE is_hot = 1) AS BIGINT)
+             AS n_dropped
+    FROM mk GROUP BY rid, url, warc_ts, host""".format(
+        glob=_pages_glob(scale), m=_BOILER_MIN_URLS)
+
+
+@register("boilerplate_strip")   # SQL attached in all_oracle_sql
+def boilerplate_strip(sf_dir: str):
+    """Per-host boilerplate stripping (CCNet-style per-domain template
+    removal): a line is dropped when it appears on >= 2 DISTINCT urls
+    of the SAME host — navigation chrome, footers and cookie banners
+    are site templates, so the evidence is counted within the site.
+    The per-host grouping is the difference from ``line_dedup``'s
+    global rule: a line shared by two pages of one site is template;
+    the same line on two pages of different sites is coincidence and
+    survives here.
+
+    Scale plan: pass 1 exchanges only distinct (host, line-hash128,
+    url-hash64) rows keyed on host, so the per-line within-host
+    distinct-url count resolves in one partition. The hot set
+    (templates — bounded) broadcasts once; pass 2 is a pure map
+    rebuild via ``pc.binary_join``. Text crosses the wire zero
+    times."""
+    from ..corpus import corpus_dir
+    d = corpus_dir(_corpus_scale(sf_dir))
+    pages = rd.read_parquet(_pages_path(d),
+                            columns=["url", "warc_ts", "text"],
+                            filter=pc.field("text").is_valid())
+
+    def add_host(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["url"], r"^[a-z]+://(?P<h>[^/]+)")
+        return b.append_column(
+            "host", pc.fill_null(pc.struct_field(m, "h"), ""))
+
+    pages = pages.map_batches(add_host, batch_format="pyarrow")
+    hot = dedup_mod.host_hot_lines(
+        pages, "text", "host", "url", min_docs=_BOILER_MIN_URLS)
+    return dedup_mod.remove_host_hot_lines(pages, "text", "host", hot)
 
 
 @register("semantic_dedup")  # k-means not SQL-expressible -> rows-only
@@ -5334,7 +5689,8 @@ _EXPORT_FRONT = [
 _DYNAMIC_ORACLED = frozenset([
     "pages_sessions", "pages_features_core", "pages_features_full",
     "pages_probes_core", "pages_domains", "pages_latest",
-    "pages_domain_cap", "pages_drift", "line_dedup"])
+    "pages_domain_cap", "pages_drift", "line_dedup",
+    "pages_url_features", "boilerplate_strip"])
 
 
 def _export_order() -> list[str]:
@@ -5366,4 +5722,6 @@ def all_oracle_sql() -> dict[str, str]:
     out["pages_domain_cap"] = pages_domain_cap_sql("t2")
     out["pages_drift"] = pages_drift_sql("t2")
     out["line_dedup"] = line_dedup_sql("t2")
+    out["pages_url_features"] = pages_url_features_sql("t2")
+    out["boilerplate_strip"] = boilerplate_strip_sql("t2")
     return out

@@ -588,6 +588,101 @@ def remove_hot_lines(ds, text_col: str, hot: pd.DataFrame,
     return ds.map_batches(Clean, batch_format="pyarrow", concurrency=2)
 
 
+def host_hot_lines(ds, text_col: str, group_col: str, doc_col: str,
+                   min_docs: int,
+                   num_partitions: int = 16,
+                   driver_max: int = 5_000_000) -> pd.DataFrame:
+    """Pass 1 of PER-GROUP boilerplate stripping (CCNet-style
+    per-domain template removal): within each ``group_col`` value
+    (host), a line is boilerplate when it occurs in at least
+    ``min_docs`` DISTINCT documents OF THAT GROUP — the per-domain
+    counterpart of hot_lines' global rule (a line shared by two pages
+    of one site is that site's template; the same line on two pages
+    of different sites is coincidence). Returns a (group, h, h2)
+    frame.
+
+    Scale shape: the exchange moves only distinct (group, line-hash128,
+    doc-hash64) rows, keyed on group — the per-(group, line)
+    distinct-doc count resolves inside ONE partition. The result is
+    template lines — bounded and broadcastable — under the same loud
+    ``driver_max`` guard as hot_lines."""
+    def pairs(b: pa.Table) -> pa.Table:
+        flat, counts, row_ids = _split_lines(b[text_col])
+        h, h2 = _line_hashes(flat)
+        uh = hash64(
+            b[doc_col].to_numpy(zero_copy_only=False)).astype(np.int64)
+        grp = np.asarray(b[group_col].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        df = pd.DataFrame({"grp": grp[row_ids], "h": h, "h2": h2,
+                           "uh": uh[row_ids]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        nd = g.groupby(["grp", "h", "h2"], as_index=False).agg(
+            c=("uh", "nunique"))
+        return nd.loc[nd["c"] >= min_docs, ["grp", "h", "h2"]]
+
+    hot = partition_map(ds.map_batches(pairs, batch_format="pyarrow"),
+                        ["grp"], count_part, num_partitions)
+    df = hot.limit(driver_max + 1).to_pandas()
+    if len(df) > driver_max:
+        raise ValueError(
+            "host_hot_lines: more than %d boilerplate lines; raise "
+            "min_docs or driver_max" % driver_max)
+    if not len(df):
+        # an empty Dataset pull drops the column names
+        df = pd.DataFrame({"grp": pd.Series(dtype=object),
+                           "h": pd.Series(dtype=np.int64),
+                           "h2": pd.Series(dtype=np.int64)})
+    return df
+
+
+def remove_host_hot_lines(ds, text_col: str, group_col: str,
+                          hot: pd.DataFrame,
+                          out_col: str = "clean_text"):
+    """Pass 2 of per-group boilerplate stripping: drop every line whose
+    (group, 128-bit line hash) is in ``hot`` — the same broadcast-once
+    / vectorized-merge / ``pc.binary_join`` rebuild as
+    remove_hot_lines, with the group key joined alongside the content
+    hashes. Pure map: row order and multiplicity preserved."""
+    import ray
+    import pyarrow.compute as pc
+
+    hot_ref = ray.put(pa.Table.from_pandas(
+        hot[["grp", "h", "h2"]].drop_duplicates(),
+        preserve_index=False))
+
+    class Clean:
+        def __init__(self):
+            self.hot = ray.get(hot_ref).to_pandas()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            flat, counts, row_ids = _split_lines(b[text_col])
+            h, h2 = _line_hashes(flat)
+            grp = np.asarray(
+                b[group_col].to_numpy(zero_copy_only=False),
+                dtype=object)
+            m = pd.DataFrame({"grp": grp[row_ids], "h": h,
+                              "h2": h2}).merge(
+                self.hot, on=["grp", "h", "h2"], how="left",
+                indicator=True)
+            keep = (m["_merge"] != "both").to_numpy()
+            kept_counts = np.bincount(
+                row_ids[keep], minlength=len(b)).astype(np.int64)
+            offs = np.concatenate(
+                ([0], np.cumsum(kept_counts))).astype(np.int32)
+            la = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), flat.filter(pa.array(keep)))
+            out = b.drop_columns([text_col])
+            out = out.append_column(out_col, pc.binary_join(la, "\n"))
+            out = out.append_column("n_kept", pa.array(kept_counts))
+            return out.append_column(
+                "n_dropped", pa.array(counts - kept_counts))
+
+    return ds.map_batches(Clean, batch_format="pyarrow", concurrency=2)
+
+
 def duplicate_spans(ds, text_col: str, id_col: str, k: int = 20,
                     num_partitions: int = 8,
                     policy: str = "mark_all"):

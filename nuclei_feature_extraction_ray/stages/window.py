@@ -247,6 +247,57 @@ def add_rolling_distinct(g: pd.DataFrame, key: str, col: str,
     return g
 
 
+def add_rolling_lag1_corr(g: pd.DataFrame, key: str, col: str,
+                          window: int, out_col: str,
+                          n_col: str) -> pd.DataFrame:
+    """Trailing row-window lag-1 autocorrelation per entity, computed
+    on INTEGER micro-units so every windowed sum is exact in both
+    engines regardless of fold order: ``x = floor(col*100 + 0.5)``
+    (the value columns are 2-decimal by contract), ``y = lag(x)``
+    within the entity, then the five pair sums (n, sx, sy, sxx, syy,
+    sxy) over the trailing window via int64 cumulative sums, and ONE
+    final double expression
+    ``(n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))``
+    evaluated in the same left-to-right order as the SQL oracle —
+    bit-exact before the shared half-away round.  NaN where n < 2 or
+    either variance is zero.  Sorted-frame precondition."""
+    from ..functions.texture import r6
+    codes = segment_codes(g[key].to_numpy())
+    v = g[col].to_numpy(np.float64)
+    x = np.floor(v * 100.0 + 0.5).astype(np.int64)
+    n = len(x)
+    y = np.zeros(n, np.int64)
+    valid = np.zeros(n, bool)
+    if n > 1:
+        y[1:] = x[:-1]
+        valid[1:] = codes[1:] == codes[:-1]
+    y[~valid] = 0
+    xm = np.where(valid, x, 0)
+    lefts = row_window_lefts(codes, window)
+    idx = np.arange(n)
+
+    def wsum(a: np.ndarray) -> np.ndarray:
+        cs = np.concatenate(([0], np.cumsum(a, dtype=np.int64)))
+        return cs[idx + 1] - cs[lefts]
+
+    cnt = wsum(valid.astype(np.int64))
+    sx, sy = wsum(xm), wsum(y)
+    sxx, syy, sxy = wsum(xm * xm), wsum(y * y), wsum(xm * y)
+    nf = cnt.astype(np.float64)
+    varx = nf * sxx.astype(np.float64) \
+        - sx.astype(np.float64) * sx.astype(np.float64)
+    vary = nf * syy.astype(np.float64) \
+        - sy.astype(np.float64) * sy.astype(np.float64)
+    cov = nf * sxy.astype(np.float64) \
+        - sx.astype(np.float64) * sy.astype(np.float64)
+    ok = (cnt >= 2) & (varx > 0) & (vary > 0)
+    out = np.full(n, np.nan)
+    out[ok] = r6(cov[ok] / (np.sqrt(varx[ok]) * np.sqrt(vary[ok])))
+    g[out_col] = out
+    g[n_col] = cnt
+    return g
+
+
 def add_ewma_rows(g: pd.DataFrame, key: str, col: str, window: int,
                   alpha: float, out_col: str) -> pd.DataFrame:
     """Trailing bounded-window EWMA per entity: the sequential

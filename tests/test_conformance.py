@@ -78,6 +78,8 @@ def test_rows_only_queries_run_and_are_deterministic(name, sf_small):
     ("pages_domain_cap", "pages_domain_cap_sql"),
     ("pages_drift", "pages_drift_sql"),
     ("line_dedup", "line_dedup_sql"),
+    ("pages_url_features", "pages_url_features_sql"),
+    ("boilerplate_strip", "boilerplate_strip_sql"),
 ])
 def test_flagship_matches_oracle(name, sql_fn, sf_small):
     """VERDICT r2 #1: the flagship pages pipeline's SQL-expressible
@@ -104,7 +106,11 @@ def test_export_order_front_loads_oracled_queries():
     assert set(names) == set(QUERIES)
     oracled = set(ORACLE) | set(_DYNAMIC_ORACLED)
     assert names[0] == "pages_features_core"
-    assert set(names[:9]) == set(_DYNAMIC_ORACLED)
+    # the four flagship pages oracles lead the window
+    assert set(names[:4]) == {"pages_features_core", "pages_sessions",
+                              "pages_probes_core",
+                              "pages_features_full"}
+    assert set(_DYNAMIC_ORACLED) <= set(names[:len(oracled)])
     n_oracled = len(oracled)
     assert all(n in oracled for n in names[:n_oracled])
     assert all(n not in oracled for n in names[n_oracled:])
