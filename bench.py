@@ -69,7 +69,8 @@ BENCH_QUERIES = [
     "quality_classifier", "dsir_weights", "rolling_distinct",
     "asof_quote_fwd", "session_funnel", "retention_cohorts",
     "rolling_corr", "bigram_pmi", "pages_url_features",
-    "boilerplate_strip",
+    "boilerplate_strip", "order_fill_rates", "sales_rollup",
+    "orders_audit", "train_val_split", "source_overlap",
 ]
 
 

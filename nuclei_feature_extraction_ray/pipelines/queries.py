@@ -3766,6 +3766,129 @@ def seq_pack(sf_dir: str):
     return partition_map(tok_ds, ["bucket"], pack, 8)
 
 
+@register("train_val_split", sql="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                ::UBIGINT AS BIGINT) AS bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                     1, 2))::UBIGINT < 204
+                  THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                     1, 2))::UBIGINT < 230
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents""")
+def train_val_split(sf_dir: str):
+    """Deterministic hash-based train/val/test assignment (~80/10/10):
+    the split every training run needs, reproducible across reruns,
+    engines and cluster sizes because the bucket is a pure function of
+    the id — bucket = first byte of md5(str(doc_id)), thresholds
+    204/230 of 256.
+
+    Scale plan: PURE MAP, zero shuffle — one vectorized DuckDB md5
+    kernel per batch (functions/hashing.md5_id64_flat), bucket is the
+    top byte of the hi word (== the first two hex digits)."""
+    from ..functions.hashing import md5_id64_flat
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        hi, _ = md5_id64_flat(ids, "")
+        bucket = (hi >> np.uint64(56)).astype(np.int64)
+        split = np.where(bucket < 204, "train",
+                         np.where(bucket < 230, "val", "test"))
+        return pd.DataFrame({"doc_id": ids, "bucket": bucket,
+                             "split": split.astype(object)})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+@register("source_overlap", sql="""
+    WITH docs AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text, E' \\t\\n\\r\\f'),
+                                '[ \\t\\n\\r\\f]+') AS w
+      FROM documents WHERE trim(text, E' \\t\\n\\r\\f') <> ''
+    ),
+    words AS (SELECT doc_id, source, unnest(w) AS tok,
+                     generate_subscripts(w, 1) AS pos
+              FROM docs),
+    g AS (SELECT DISTINCT a.source,
+                 a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+          FROM words a
+          JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY src_a, src_b""")
+def source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: for every source pair, the
+    number of DISTINCT token 3-grams both emit — the leakage census a
+    mixing stage consults before treating sources as independent
+    (exact-duplicate overlap is zero on this corpus by construction;
+    shared phrasing is not).
+
+    Scale plan: per-batch distinct (gram-hash128, source) rows — raw
+    grams never cross the wire — then ONE gram-keyed exchange; each
+    partition self-merges its gram groups into ordered source pairs
+    (bounded by n_sources per gram) and pre-aggregates, so the driver
+    combine is at most sources² x partitions rows (guarded)."""
+    from ..functions.hashing import hash64
+    from ..stages.dedup import _H2_KEY
+    from ..stages.partition import partition_map
+    from ..stages.dedup import _tokenize
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "source", "text"])
+
+    def gram_partial(b: pd.DataFrame) -> pd.DataFrame:
+        grams, srcs = [], []
+        src_arr = b["source"].to_numpy(object)
+        for i, t in enumerate(_tokenize(b["text"])):
+            if len(t) < 3:
+                continue
+            s = src_arr[i]
+            for j in range(len(t) - 2):
+                grams.append(t[j] + " " + t[j + 1] + " " + t[j + 2])
+                srcs.append(s)
+        if not grams:
+            return pd.DataFrame({"h": pd.Series(dtype=np.int64),
+                                 "h2": pd.Series(dtype=np.int64),
+                                 "source": pd.Series(dtype=object)})
+        vals = np.asarray(grams, object)
+        h = hash64(vals).astype(np.int64)
+        h2 = pd.util.hash_array(vals, hash_key=_H2_KEY,
+                                categorize=False).astype(np.int64)
+        return pd.DataFrame({"h": h, "h2": h2,
+                             "source": np.asarray(srcs, object)}) \
+            .drop_duplicates()
+
+    def pair_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on=["h", "h2"])
+        m = m[m["source_x"] < m["source_y"]]
+        out = m.groupby(["source_x", "source_y"], as_index=False) \
+            .size().rename(columns={
+                "source_x": "src_a", "source_y": "src_b",
+                "size": "n_shared"})
+        out["n_shared"] = out["n_shared"].astype(np.int64)
+        return out
+
+    parts = partition_map(
+        ds.map_batches(gram_partial, batch_format="pandas"),
+        ["h"], pair_part, 16) \
+        .limit(_COMBINE_MAX_ROWS + 1).to_pandas()
+    if len(parts) > _COMBINE_MAX_ROWS:
+        raise ValueError("source_overlap: pair matrix too large for "
+                         "the driver combine")
+    out = parts.groupby(["src_a", "src_b"], as_index=False).agg(
+        n_shared=("n_shared", "sum"))
+    out["n_shared"] = out["n_shared"].astype(np.int64)
+    return out
+
+
 @register("quality_band", sql="""
     WITH q AS (SELECT quantile_cont(n_chars, 0.10) AS lo,
                       quantile_cont(n_chars, 0.90) AS hi
@@ -4923,6 +5046,235 @@ def cust_no_orders(sf_dir: str):
         return out.rename(columns={"key": "c_custkey"})
 
     return partition_map(both, ["key"], anti, 16)
+
+
+@register("order_fill_rates", sql="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE li.n IS NOT NULL) AS BIGINT)
+             AS n_filled,
+           CAST(count(*) FILTER (WHERE li.n IS NULL) AS BIGINT)
+             AS n_unfilled,
+           CAST(sum(coalesce(li.n, 0)) AS BIGINT) AS n_items,
+           CAST(sum(coalesce(li.qc, 0)) AS BIGINT) AS qty_cents
+    FROM orders o LEFT JOIN (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qc
+      FROM lineitem GROUP BY l_orderkey) li
+    ON li.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority""")
+def order_fill_rates(sf_dir: str):
+    """LEFT OUTER join aggregate (the join family's missing flavor —
+    J4 is inner, J5 anti, J6 semi): per order priority, how many
+    orders have line items at all, plus item and quantity totals with
+    null-side zero fill. The corpus plants orders with no line items,
+    so the outer edge is exercised.
+
+    Scale plan: lineitem pre-aggregates per batch to (orderkey,
+    n, qty-cents) grain BEFORE the one orderkey co-partitioning
+    exchange (union-tagged, the cust_no_orders shape); each partition
+    left-merges vectorized and pre-aggregates to priority grain, so
+    the driver combine is 5 x partitions rows. Quantities cross
+    engines as exact integer cents."""
+    from ..stages.partition import partition_map
+
+    orders = rd.read_parquet(_path(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    li = rd.read_parquet(_path(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["o_orderkey"].to_numpy(np.int64),
+            "prio": b["o_orderpriority"].to_numpy(object),
+            "n": np.zeros(len(b), np.int64),
+            "qc": np.zeros(len(b), np.int64),
+            "side": np.zeros(len(b), np.int64)})
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "key": b["l_orderkey"].to_numpy(np.int64),
+            "n": np.ones(len(b), np.int64),
+            "qc": np.round(b["l_quantity"].to_numpy(np.float64)
+                           * 100).astype(np.int64)})
+        g = g.groupby("key", as_index=False).agg(
+            n=("n", "sum"), qc=("qc", "sum"))
+        g["prio"] = ""
+        g["side"] = np.int64(1)
+        return g[["key", "prio", "n", "qc", "side"]]
+
+    both = orders.map_batches(order_rows, batch_format="pandas") \
+        .union(li.map_batches(li_partial, batch_format="pandas"))
+
+    def left_agg(g: pd.DataFrame) -> pd.DataFrame:
+        right = g[g["side"] == 1].groupby("key", as_index=False).agg(
+            n=("n", "sum"), qc=("qc", "sum"))
+        left = g.loc[g["side"] == 0, ["key", "prio"]]
+        m = left.merge(right, on="key", how="left")
+        filled = m["n"].notna()
+        out = pd.DataFrame({
+            "o_orderpriority": m["prio"].to_numpy(object),
+            "n_orders": np.ones(len(m), np.int64),
+            "n_filled": filled.to_numpy().astype(np.int64),
+            "n_unfilled": (~filled).to_numpy().astype(np.int64),
+            "n_items": m["n"].fillna(0).to_numpy(np.int64),
+            "qty_cents": m["qc"].fillna(0).to_numpy(np.int64)})
+        return out.groupby("o_orderpriority", as_index=False).sum()
+
+    parts = partition_map(both, ["key"], left_agg, 16) \
+        .limit(_COMBINE_MAX_ROWS + 1).to_pandas()
+    if len(parts) > _COMBINE_MAX_ROWS:
+        raise ValueError("order_fill_rates: partial frame too large")
+    out = parts.groupby("o_orderpriority", as_index=False).sum()
+    for c in ("n_orders", "n_filled", "n_unfilled", "n_items",
+              "qty_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+@register("sales_rollup", sql="""
+    SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL')
+             AS order_year,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)""")
+def sales_rollup(sf_dir: str):
+    """Hierarchical GROUPING-SETS aggregate (ROLLUP): revenue by
+    (year, priority) plus per-year subtotals plus the grand total —
+    the OLAP cube edge none of the flat groupbys cover. Subtotal
+    levels surface as the string 'ALL' (no real NULLs in the group
+    keys, so coalesce is unambiguous).
+
+    Scale plan: per-batch partials collapse to at most
+    years x priorities cells before ANY data movement; the driver
+    combine is bounded by the cube size (guarded), and all three
+    rollup levels are derived from the finest cells driver-side —
+    integer cents, no shuffle at all."""
+    ds = rd.read_parquet(_path(sf_dir, "orders"),
+                         columns=["o_orderdate", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        y = b["o_orderdate"].to_numpy("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        g = pd.DataFrame({
+            "y": y,
+            "prio": b["o_orderpriority"].to_numpy(object),
+            "n": np.ones(len(b), np.int64),
+            "cents": np.round(b["o_totalprice"].to_numpy(np.float64)
+                              * 100).astype(np.int64)})
+        return g.groupby(["y", "prio"], as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas") \
+        .limit(_COMBINE_MAX_ROWS + 1).to_pandas()
+    if len(parts) > _COMBINE_MAX_ROWS:
+        raise ValueError("sales_rollup: cube too large for the "
+                         "driver combine")
+    fine = parts.groupby(["y", "prio"], as_index=False).agg(
+        n=("n", "sum"), cents=("cents", "sum"))
+    by_year = fine.groupby("y", as_index=False).agg(
+        n=("n", "sum"), cents=("cents", "sum"))
+    by_year["prio"] = "ALL"
+    total = pd.DataFrame({"y": ["ALL"], "prio": ["ALL"],
+                          "n": [fine["n"].sum()],
+                          "cents": [fine["cents"].sum()]})
+    fine["y"] = fine["y"].astype(str)
+    by_year["y"] = by_year["y"].astype(str)
+    out = pd.concat([fine, by_year, total], ignore_index=True)
+    return pd.DataFrame({
+        "order_year": out["y"].to_numpy(object),
+        "priority": out["prio"].to_numpy(object),
+        "n_orders": out["n"].to_numpy(np.int64),
+        "revenue_cents": out["cents"].to_numpy(np.int64)})
+
+
+@register("orders_audit", sql="""
+    SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+           CAST((SELECT count(*) FROM (
+                   SELECT o_orderkey FROM orders
+                   GROUP BY o_orderkey HAVING count(*) > 1))
+                AS BIGINT) AS n_dup_orderkey,
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT) AS n_null_custkey,
+           CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+                AS BIGINT) AS n_nonpos_price,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_orderkey = o.o_orderkey))
+                AS BIGINT) AS n_orders_no_items,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphan_lineitems""")
+def orders_audit(sf_dir: str):
+    """Data-quality audit in ONE pass: row count, duplicate primary
+    keys, null foreign keys, non-positive amounts, referential
+    completeness in BOTH directions (orders without line items, line
+    items without an order) — the validation report a pipeline runs
+    before trusting an ingest.
+
+    Scale plan: stateless checks ride the per-batch partials; the
+    referential checks share ONE orderkey co-partitioning exchange
+    (union-tagged, lineitem collapsed to (key, count) per batch);
+    each partition emits a single row of counters and the driver adds
+    partitions x 1 rows."""
+    from ..stages.partition import partition_map
+
+    orders = rd.read_parquet(_path(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    li = rd.read_parquet(_path(sf_dir, "lineitem"),
+                         columns=["l_orderkey"])
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["o_orderkey"].to_numpy(np.int64),
+            "null_ck": b["o_custkey"].isna().to_numpy()
+            .astype(np.int64),
+            "nonpos": (b["o_totalprice"].to_numpy(np.float64) <= 0)
+            .astype(np.int64),
+            "n_items": np.zeros(len(b), np.int64),
+            "side": np.zeros(len(b), np.int64)})
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        k, c = np.unique(b["l_orderkey"].to_numpy(np.int64),
+                         return_counts=True)
+        return pd.DataFrame({
+            "key": k, "null_ck": np.zeros(len(k), np.int64),
+            "nonpos": np.zeros(len(k), np.int64),
+            "n_items": c.astype(np.int64),
+            "side": np.ones(len(k), np.int64)})
+
+    both = orders.map_batches(order_rows, batch_format="pandas") \
+        .union(li.map_batches(li_partial, batch_format="pandas"))
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1].groupby("key", as_index=False).agg(
+            n_items=("n_items", "sum"))
+        okeys = o["key"].to_numpy(np.int64)
+        ouniq, ocnt = np.unique(okeys, return_counts=True)
+        lkeys = l["key"].to_numpy(np.int64)
+        no_items = ~_sorted_member(np.sort(lkeys), okeys)
+        orphan_mask = ~_sorted_member(ouniq, lkeys)
+        return pd.DataFrame({
+            "n_orders": [np.int64(len(o))],
+            "n_dup_orderkey": [np.int64((ocnt > 1).sum())],
+            "n_null_custkey": [o["null_ck"].sum()],
+            "n_nonpos_price": [o["nonpos"].sum()],
+            "n_orders_no_items": [np.int64(no_items.sum())],
+            "n_orphan_lineitems":
+                [l.loc[orphan_mask, "n_items"].sum()]})
+
+    parts = partition_map(both, ["key"], audit, 16).to_pandas()
+    out = parts.sum().to_frame().T
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
 
 
 @register("dup_spans_apply", sql="""
