@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "rolling_corr", "bigram_pmi", "pages_url_features",
     "boilerplate_strip", "order_fill_rates", "sales_rollup",
     "orders_audit", "train_val_split", "source_overlap",
+    "url_versions", "trending_terms", "top_event_type",
+    "price_histogram", "kmeans_clusters",
 ]
 
 

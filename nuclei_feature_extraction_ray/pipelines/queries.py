@@ -992,6 +992,87 @@ def rolling_distinct(sf_dir: str):
                              sort_cols=["user_id", "ts", "event_id"])
 
 
+@register("top_event_type", sql="""
+    SELECT user_id, event_type AS top_type, CAST(c AS BIGINT) AS n
+    FROM (SELECT user_id, event_type, count(*) AS c,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY count(*) DESC,
+                                             event_type) AS rn
+          FROM events GROUP BY user_id, event_type)
+    WHERE rn = 1""")
+def top_event_type(sf_dir: str):
+    """Grouped MODE with a deterministic tie-break: each user's most
+    frequent event type (ties -> lexicographically first) — the
+    categorical argmax aggregate no plain sum/min/max expresses.
+
+    Scale plan: per-batch (user, type, count) partials collapse the
+    stream to at most users x types rows BEFORE the one user_id
+    exchange; the per-partition winner is a vectorized sort +
+    first-per-group — no driver work beyond streaming the result."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["user_id", "event_type"], as_index=False) \
+            .size().rename(columns={"size": "c"})
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    def winner(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "event_type"], as_index=False) \
+            .agg(c=("c", "sum"))
+        g = g.sort_values(["user_id", "c", "event_type"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        g = g.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "top_type": g["event_type"].to_numpy(object),
+            "n": g["c"].to_numpy(np.int64)})
+
+    return partitioned_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        "user_id", winner, EVENTS_P)
+
+
+@register("price_histogram", sql="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY bin""")
+def price_histogram(sf_dir: str):
+    """Equi-width histogram (bin = floor(price / 50k)) with per-bin
+    count and exact cents mass — the distribution census a pipeline
+    runs before choosing quantile/band thresholds.
+
+    Scale plan: per-batch bin partials (at most n_bins rows per
+    block), a bounded driver combine, ZERO shuffle. The bin id is one
+    IEEE divide + floor, identical in both engines; the mass is
+    integer cents."""
+    ds = rd.read_parquet(_path(sf_dir, "orders"),
+                         columns=["o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b["o_totalprice"].to_numpy(np.float64)
+        g = pd.DataFrame({
+            "bin": np.floor(p / 50000).astype(np.int64),
+            "n": np.ones(len(p), np.int64),
+            "cents": np.round(p * 100).astype(np.int64)})
+        return g.groupby("bin", as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas") \
+        .limit(_COMBINE_MAX_ROWS + 1).to_pandas()
+    if len(parts) > _COMBINE_MAX_ROWS:
+        raise ValueError("price_histogram: too many bins for the "
+                         "driver combine")
+    out = parts.groupby("bin", as_index=False).agg(
+        n=("n", "sum"), cents=("cents", "sum"))
+    for c in ("bin", "n", "cents"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 @register("rolling_corr", sql="""
     WITH s AS (
       SELECT user_id, event_id, ts,
@@ -2797,6 +2878,178 @@ def pages_url_features(sf_dir: str):
     return pages.map_batches(fn, batch_format="pyarrow")
 
 
+def url_versions_sql(scale: str) -> str:
+    """DuckDB oracle for ``url_versions``. Duplicate (url, warc_ts)
+    snapshot rows are collapsed FIRST (DISTINCT) so version numbers
+    are total-order-free."""
+    return """
+    WITH s AS (SELECT DISTINCT url, warc_ts
+               FROM read_parquet('{glob}')),
+    v AS (SELECT url, warc_ts AS valid_from,
+                 lead(warc_ts) OVER (PARTITION BY url
+                                     ORDER BY warc_ts) AS valid_to,
+                 row_number() OVER (PARTITION BY url
+                                    ORDER BY warc_ts) AS version
+          FROM s)
+    SELECT url, valid_from, valid_to,
+           CAST(version AS BIGINT) AS version,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_current
+    FROM v""".format(glob=_pages_glob(scale))
+
+
+@register("url_versions")   # SQL attached in all_oracle_sql
+def url_versions(sf_dir: str):
+    """SCD2 validity-interval reconstruction: each url's snapshot
+    history becomes versioned rows with [valid_from, valid_to)
+    intervals and an is_current flag — the slowly-changing-dimension
+    build a warehouse runs on every crawl delta. Duplicate snapshots
+    collapse first so version numbers are total-order-free.
+
+    Scale plan: per-batch DISTINCT (url, warc_ts) partials shrink the
+    exchange (same-url snapshots sit adjacently in crawl order), ONE
+    url exchange, then lead/version are a per-partition sorted shift
+    and cumcount — no window state crosses partitions because the url
+    is the partition key."""
+    from ..stages.partition import partition_map
+    from ..corpus import corpus_dir
+    d = corpus_dir(_corpus_scale(sf_dir))
+    pages = rd.read_parquet(_pages_path(d),
+                            columns=["url", "warc_ts"])
+
+    def distinct_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates()
+
+    def versions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["url", "warc_ts"]) \
+            .sort_values(["url", "warc_ts"], kind="mergesort")
+        from ..stages.window import segment_codes, segment_starts
+        codes = segment_codes(g["url"].to_numpy())
+        ts = g["warc_ts"].to_numpy("datetime64[us]")
+        n = len(g)
+        valid_to = np.full(n, np.datetime64("NaT", "us"))
+        if n > 1:
+            same = codes[1:] == codes[:-1]
+            valid_to[:-1][same] = ts[1:][same]
+        version = np.arange(n, dtype=np.int64) \
+            - segment_starts(codes) + 1
+        return pd.DataFrame({
+            "url": g["url"].to_numpy(object),
+            "valid_from": ts, "valid_to": valid_to,
+            "version": version,
+            "is_current": np.isnat(valid_to).astype(np.int64)})
+
+    return partition_map(
+        pages.map_batches(distinct_partial, batch_format="pandas"),
+        ["url"], versions, 16)
+
+
+#: trending_terms: risers per day
+_TREND_K = 10
+
+
+def trending_terms_sql(scale: str) -> str:
+    """DuckDB oracle for ``trending_terms``. The day id is
+    floor(epoch/86400) as BIGINT — exact in IEEE doubles at
+    microsecond precision (a us-offset from midnight is ~1e-11 days,
+    far above the 2e-13 ulp), so it equals the engine's integer
+    ``ts_us // DAY``."""
+    return """
+    WITH p AS (
+      SELECT CAST(floor(epoch(warc_ts) / 86400) AS BIGINT) AS day,
+             string_split_regex(trim(text, E' \\t\\n\\r\\f'),
+                                '[ \\t\\n\\r\\f]+') AS w
+      FROM read_parquet('{glob}')
+      WHERE text IS NOT NULL
+        AND trim(text, E' \\t\\n\\r\\f') <> ''),
+    toks AS (SELECT day, unnest(w) AS tok FROM p),
+    c AS (SELECT day, tok, CAST(count(*) AS BIGINT) AS n
+          FROM toks GROUP BY day, tok),
+    j AS (SELECT c.day, c.tok, c.n,
+                 coalesce(prev.n, 0) AS n_prev
+          FROM c LEFT JOIN c prev
+            ON prev.tok = c.tok AND prev.day = c.day - 1),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY day
+            ORDER BY n - n_prev DESC, tok) AS rn FROM j)
+    SELECT day, tok, n, CAST(n_prev AS BIGINT) AS n_prev,
+           CAST(n - n_prev AS BIGINT) AS delta
+    FROM r WHERE rn <= {k}""".format(glob=_pages_glob(scale),
+                                     k=_TREND_K)
+
+
+@register("trending_terms")   # SQL attached in all_oracle_sql
+def trending_terms(sf_dir: str):
+    """Temporal text analytics: the top-K day-over-day RISING terms
+    per crawl day (delta = today's count minus yesterday's, ties ->
+    lexicographic) — the trend detector a feed/monitoring pipeline
+    runs on every ingest day.
+
+    Scale plan: per-batch (day, term, count) partials collapse the
+    token stream before the ONE term-keyed exchange; each partition
+    holds a term's full day series, so yesterday's count is an
+    in-partition merge on (term, day+1) and the per-day top-K is a
+    partial top-K per partition — the driver merge is bounded by
+    days x K x partitions (guarded)."""
+    from ..stages.dedup import _tokenize
+    from ..stages.partition import partition_map
+
+    DAY_US = 86_400_000_000
+    from ..corpus import corpus_dir
+    d = corpus_dir(_corpus_scale(sf_dir))
+    pages = rd.read_parquet(_pages_path(d),
+                            columns=["warc_ts", "text"],
+                            filter=pc.field("text").is_valid())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        days = (b["warc_ts"].to_numpy("datetime64[us]")
+                .astype(np.int64) // DAY_US)
+        toks, dcol = [], []
+        for i, t in enumerate(_tokenize(b["text"])):
+            if not t:
+                continue
+            toks.extend(t)
+            dcol.extend([days[i]] * len(t))
+        if not toks:
+            return pd.DataFrame({"day": pd.Series(dtype=np.int64),
+                                 "tok": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        g = pd.DataFrame({"day": np.asarray(dcol, np.int64),
+                          "tok": np.asarray(toks, object)}) \
+            .groupby(["day", "tok"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def risers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["day", "tok"], as_index=False).agg(
+            n=("n", "sum"))
+        prev = g[["day", "tok", "n"]].copy()
+        prev["day"] = prev["day"] + 1
+        m = g.merge(prev, on=["day", "tok"], how="left",
+                    suffixes=("", "_prev"))
+        m["n_prev"] = m["n_prev"].fillna(0).astype(np.int64)
+        m["delta"] = (m["n"] - m["n_prev"]).astype(np.int64)
+        m = m.sort_values(["day", "delta", "tok"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        return m.groupby("day", sort=False).head(_TREND_K)
+
+    parts = partition_map(
+        pages.map_batches(partial, batch_format="pandas"),
+        ["tok"], risers, 16) \
+        .limit(_COMBINE_MAX_ROWS + 1).to_pandas()
+    if len(parts) > _COMBINE_MAX_ROWS:
+        raise ValueError("trending_terms: day x K x partitions frame "
+                         "too large for the driver combine")
+    out = parts.sort_values(["day", "delta", "tok"],
+                            ascending=[True, False, True],
+                            kind="mergesort") \
+        .groupby("day", sort=False).head(_TREND_K)
+    return out[["day", "tok", "n", "n_prev", "delta"]] \
+        .reset_index(drop=True)
+
+
 def pages_latest_sql(scale: str) -> str:
     """DuckDB oracle for ``pages_latest``. Ties at the max timestamp
     (the corpus plants same-ts duplicate snapshots with differing
@@ -3146,6 +3399,22 @@ def boilerplate_strip(sf_dir: str):
     hot = dedup_mod.host_hot_lines(
         pages, "text", "host", "url", min_docs=_BOILER_MIN_URLS)
     return dedup_mod.remove_host_hot_lines(pages, "text", "host", hot)
+
+
+@register("kmeans_clusters")  # iterative -> rows-only + property tests
+def kmeans_clusters(sf_dir: str):
+    """Full-data Lloyd k-means assignments over the embeddings table
+    (k=8, 4 iterations) — the iterative-ML workload class (EM-style
+    fixpoint loops) beyond one-shot aggregates. Deterministic at any
+    partitioning: integer-quantized partial sums make the centroid
+    reduction fold-order-free (stages/ann.kmeans_lloyd); init is the
+    k smallest ids, no RNG. Inertia monotonicity and bit-determinism
+    are pytest properties (test_dedup_ann)."""
+    ds = rd.read_parquet(_path(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    out, _hist = ann_mod.kmeans_lloyd(ds, "embedding", "vec_id",
+                                      k=8, iters=4)
+    return out
 
 
 @register("semantic_dedup")  # k-means not SQL-expressible -> rows-only
@@ -6042,7 +6311,8 @@ _DYNAMIC_ORACLED = frozenset([
     "pages_sessions", "pages_features_core", "pages_features_full",
     "pages_probes_core", "pages_domains", "pages_latest",
     "pages_domain_cap", "pages_drift", "line_dedup",
-    "pages_url_features", "boilerplate_strip"])
+    "pages_url_features", "boilerplate_strip", "url_versions",
+    "trending_terms"])
 
 
 def _export_order() -> list[str]:
@@ -6076,4 +6346,6 @@ def all_oracle_sql() -> dict[str, str]:
     out["line_dedup"] = line_dedup_sql("t2")
     out["pages_url_features"] = pages_url_features_sql("t2")
     out["boilerplate_strip"] = boilerplate_strip_sql("t2")
+    out["url_versions"] = url_versions_sql("t2")
+    out["trending_terms"] = trending_terms_sql("t2")
     return out

@@ -608,3 +608,104 @@ def ann_ivf(ds, emb_col: str, id_col: str, query_ids: list[int],
             CellScan, batch_format="pyarrow", concurrency=pool_size(),
             batch_size=4096), k)
     return _topk(partials, k)
+
+
+def kmeans_lloyd(ds, emb_col: str, id_col: str, k: int = 8,
+                 iters: int = 4, quant_bits: int = 20):
+    """Full-data Lloyd k-means over an embedding column, DETERMINISTIC
+    at any partitioning / arrival order: per-batch partial sums are
+    computed on embeddings quantized to integer micro-units
+    (``round(x * 2^quant_bits)`` int64), so the cross-partition
+    reduction is exact integer addition — fold-order-free — and every
+    centroid update is one fixed float expression of exact integers.
+    (int64 headroom: |q| <= ~2^21 at unit-scale inputs, safe to ~1e12
+    rows per cluster.)
+
+    Init is the embeddings of the ``k`` SMALLEST ids (portable, no
+    RNG). Empty clusters keep their previous centroid. Returns
+    ``(assignments Dataset (id_col, cluster), inertia_history)`` —
+    history is float64 (monotone non-increasing up to IEEE noise;
+    assignments themselves are bit-deterministic).
+
+    Scale shape: every iteration is ONE streaming pass emitting <= k
+    rows per block (cluster, count, d int sums); the driver combine is
+    k x blocks rows; centroids broadcast once per iteration via
+    ray.put. No shuffle anywhere.
+    """
+    Q = float(1 << quant_bits)
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="mergesort")[:k]
+        return b.take(pa.array(np.sort(order)))
+
+    seeds = ds.select_columns([id_col, emb_col]).map_batches(
+        seed_partial, batch_format="pyarrow").to_pandas()
+    seeds = seeds.sort_values(id_col, kind="mergesort").head(k)
+    cent = np.vstack([np.asarray(r, np.float64)
+                      for r in seeds[emb_col]])
+    d = cent.shape[1]
+    history = []
+    scols = ["s%d" % j for j in range(d)]
+
+    def make_partial(cent_ref):
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            X = _stack(b[emb_col])
+            q = np.round(X * Q).astype(np.int64)
+            # ||x-c||^2 for all pairs; argmin ties -> lowest cluster
+            d2 = ((X * X).sum(axis=1, keepdims=True)
+                  - 2.0 * (X @ c.T)
+                  + (c * c).sum(axis=1)[None, :])
+            a = np.argmin(d2, axis=1)
+            inert = d2[np.arange(len(a)), a].sum()
+            out = {"cluster": [], "cnt": [], "inertia": []}
+            sums = []
+            for ci in np.unique(a):
+                m = a == ci
+                out["cluster"].append(int(ci))
+                out["cnt"].append(int(m.sum()))
+                out["inertia"].append(float(inert) if not sums
+                                      else 0.0)
+                sums.append(q[m].sum(axis=0))
+            t = pa.table({
+                "cluster": pa.array(out["cluster"], pa.int64()),
+                "cnt": pa.array(out["cnt"], pa.int64()),
+                "inertia": pa.array(out["inertia"], pa.float64()),
+                **{scols[j]: pa.array(
+                    np.asarray([s[j] for s in sums], np.int64))
+                   for j in range(d)}})
+            return t
+        return partial
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        parts = ds.select_columns([id_col, emb_col]).map_batches(
+            make_partial(cent_ref), batch_format="pyarrow") \
+            .to_pandas()
+        history.append(float(parts["inertia"].sum()))
+        agg = parts.groupby("cluster", as_index=False).agg(
+            {"cnt": "sum", **{c: "sum" for c in scols}})
+        new = cent.copy()
+        for _, row in agg.iterrows():
+            ci = int(row["cluster"])
+            n = float(row["cnt"])
+            s = row[scols].to_numpy(np.float64)
+            new[ci] = (s / n) / Q
+        cent = new
+
+    cent_ref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        X = _stack(b[emb_col])
+        d2 = ((X * X).sum(axis=1, keepdims=True) - 2.0 * (X @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        a = np.argmin(d2, axis=1).astype(np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            "cluster": pa.array(a)})
+
+    out = ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow")
+    return out, history

@@ -80,6 +80,8 @@ def test_rows_only_queries_run_and_are_deterministic(name, sf_small):
     ("line_dedup", "line_dedup_sql"),
     ("pages_url_features", "pages_url_features_sql"),
     ("boilerplate_strip", "boilerplate_strip_sql"),
+    ("url_versions", "url_versions_sql"),
+    ("trending_terms", "trending_terms_sql"),
 ])
 def test_flagship_matches_oracle(name, sql_fn, sf_small):
     """VERDICT r2 #1: the flagship pages pipeline's SQL-expressible

@@ -613,3 +613,27 @@ def test_dedup_against_index_incremental(tmp_path):
                                num_partitions=4).to_pandas()
     # beta/gamma already ingested; delta new (min id wins intra-run)
     assert sorted(out2["doc_id"]) == [11]
+
+
+def test_kmeans_lloyd_deterministic_and_monotone(sf_small):
+    """Lloyd over the embeddings table: assignments are
+    bit-deterministic across runs (integer-quantized partial sums ->
+    fold-order-free centroid reduction), inertia never increases
+    across iterations, and every vector lands in exactly one of k
+    clusters."""
+    from nuclei_feature_extraction_ray.stages.ann import kmeans_lloyd
+
+    ds = rd.read_parquet(sf_small + "/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out1, h1 = kmeans_lloyd(ds, "embedding", "vec_id", k=8, iters=4)
+    a1 = out1.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    out2, h2 = kmeans_lloyd(ds, "embedding", "vec_id", k=8, iters=4)
+    a2 = out2.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a1, a2)
+    assert h1 == h2
+    # monotone non-increasing up to IEEE summation noise
+    for prev, cur in zip(h1, h1[1:]):
+        assert cur <= prev * (1 + 1e-9)
+    assert a1["cluster"].between(0, 7).all()
+    n = len(pd.read_parquet(sf_small + "/embeddings.parquet"))
+    assert len(a1) == n
