@@ -72,7 +72,8 @@ BENCH_QUERIES = [
     "boilerplate_strip", "order_fill_rates", "sales_rollup",
     "orders_audit", "train_val_split", "source_overlap",
     "url_versions", "trending_terms", "top_event_type",
-    "price_histogram", "kmeans_clusters",
+    "price_histogram", "kmeans_clusters", "user_value_trend",
+    "value_outliers",
 ]
 
 

@@ -1073,6 +1073,139 @@ def price_histogram(sf_dir: str):
     return out
 
 
+@register("user_value_trend", sql="""
+    WITH s AS (SELECT user_id,
+                      CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events),
+    a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(d) AS BIGINT) AS sx,
+                 CAST(sum(v) AS BIGINT) AS sy,
+                 CAST(sum(d * v) AS BIGINT) AS sxy,
+                 CAST(sum(d * d) AS BIGINT) AS sxx
+          FROM s GROUP BY user_id)
+    SELECT user_id, n,
+           CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+           THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                      6)
+           ELSE NULL END AS slope_cents_per_day
+    FROM a""")
+def user_value_trend(sf_dir: str):
+    """Per-group OLS regression: each user's spend trend as the
+    least-squares slope of value (cents) against time (days) — the
+    closed-form model fit a feature pipeline computes per entity.
+    Same integer-micro policy as rolling_corr: the five sums are
+    exact int64 (day <= ~2e4, cents <= ~5e4 — products far inside
+    int64), and ONE double expression in oracle order produces the
+    slope; NULL when n < 2 or all events share a day.
+
+    Scale plan: per-batch integer partials collapse each block to at
+    most its distinct-user count BEFORE the one user_id exchange; the
+    per-partition finish is a groupby-sum plus the closed form. No
+    row-level data crosses the wire."""
+    from ..functions.texture import r6
+    DAY_US = 86_400_000_000
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = (b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+             // DAY_US)
+        v = np.floor(b["value"].to_numpy(np.float64) * 100 + 0.5) \
+            .astype(np.int64)
+        g = pd.DataFrame({"user_id": b["user_id"].to_numpy(np.int64),
+                          "n": np.ones(len(b), np.int64),
+                          "sx": d, "sy": v, "sxy": d * v,
+                          "sxx": d * d})
+        return g.groupby("user_id", as_index=False).sum()
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("user_id", as_index=False).sum()
+        n = a["n"].to_numpy(np.int64)
+        sx = a["sx"].to_numpy(np.int64).astype(np.float64)
+        sy = a["sy"].to_numpy(np.int64).astype(np.float64)
+        sxy = a["sxy"].to_numpy(np.int64).astype(np.float64)
+        sxx = a["sxx"].to_numpy(np.int64).astype(np.float64)
+        nf = n.astype(np.float64)
+        den = nf * sxx - sx * sx
+        ok = (n >= 2) & (den > 0)
+        slope = np.full(len(a), np.nan)
+        slope[ok] = r6((nf[ok] * sxy[ok] - sx[ok] * sy[ok])
+                       / den[ok])
+        return pd.DataFrame({
+            "user_id": a["user_id"].to_numpy(np.int64),
+            "n": n, "slope_cents_per_day": slope})
+
+    return partitioned_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        "user_id", finish, EVENTS_P)
+
+
+@register("value_outliers", sql="""
+    WITH m AS (SELECT user_id, quantile_cont(value, 0.5) AS med
+               FROM events GROUP BY user_id),
+    d AS (SELECT e.user_id, e.event_id, e.ts, e.value, m.med,
+                 abs(e.value - m.med) AS ad
+          FROM events e JOIN m USING (user_id)),
+    md AS (SELECT user_id, quantile_cont(ad, 0.5) AS mad
+           FROM d GROUP BY user_id)
+    SELECT d.user_id, d.event_id, d.ts, d.value,
+           round(d.med, 6) AS med, round(md.mad, 6) AS mad
+    FROM d JOIN md USING (user_id)
+    WHERE d.ad > 3 * md.mad""")
+def value_outliers(sf_dir: str):
+    """Robust per-entity anomaly detection: events whose absolute
+    deviation from the user's MEDIAN exceeds 3x the user's MAD — the
+    median/MAD rule that, unlike z-scores, a single spike cannot
+    poison. Both medians use DuckDB's quantile_cont interpolation
+    ``lo*(1-frac) + hi*frac`` (the rolling_median-proven formula), so
+    the strict > filter agrees bit-for-bit.
+
+    Scale plan: ONE user_id exchange; both median passes are
+    vectorized segment order statistics inside the partition (sort +
+    per-segment position gather), no per-user Python."""
+    from ..functions.texture import r6
+    from ..stages.window import segment_codes, segment_starts
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def seg_median(keys: np.ndarray, vals: np.ndarray):
+        """(sorted unique keys, their medians) — quantile_cont 0.5."""
+        order = np.lexsort((vals, keys))
+        ks, vs = keys[order], vals[order]
+        codes = segment_codes(ks)
+        starts_row = segment_starts(codes)
+        starts = np.unique(starts_row)
+        cnt = np.diff(np.append(starts, len(ks)))
+        pos = 0.5 * (cnt - 1)
+        lo = np.floor(pos).astype(np.int64)
+        frac = pos - lo
+        hi = np.minimum(lo + 1, cnt - 1)
+        med = vs[starts + lo] * (1.0 - frac) + vs[starts + hi] * frac
+        return ks[starts], med
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        uk, med = seg_median(u, v)
+        med_row = med[np.searchsorted(uk, u)]
+        ad = np.abs(v - med_row)
+        uk2, mad = seg_median(u, ad)
+        mad_row = mad[np.searchsorted(uk2, u)]
+        keep = ad > 3.0 * mad_row
+        return pd.DataFrame({
+            "user_id": u[keep],
+            "event_id": g["event_id"].to_numpy(np.int64)[keep],
+            "ts": g["ts"].to_numpy("datetime64[us]")[keep],
+            "value": v[keep],
+            "med": r6(med_row[keep]), "mad": r6(mad_row[keep])})
+
+    return partitioned_apply(ds, "user_id", fn, EVENTS_P)
+
+
 @register("rolling_corr", sql="""
     WITH s AS (
       SELECT user_id, event_id, ts,
