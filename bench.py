@@ -73,7 +73,8 @@ BENCH_QUERIES = [
     "orders_audit", "train_val_split", "source_overlap",
     "url_versions", "trending_terms", "top_event_type",
     "price_histogram", "kmeans_clusters", "user_value_trend",
-    "value_outliers",
+    "value_outliers", "event_transitions", "part_pareto",
+    "bpe_merges",
 ]
 
 

@@ -1073,6 +1073,120 @@ def price_histogram(sf_dir: str):
     return out
 
 
+@register("event_transitions", sql="""
+    WITH s AS (SELECT event_type,
+                      lag(event_type) OVER ({w}) AS prev_type
+               FROM events)
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type""".format(w=_EVW))
+def event_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's ordered
+    event stream (prev type -> next type) — the sequence-mining census
+    behind next-action models and funnel hypotheses.
+
+    Scale plan: the lag is computed INSIDE the one user_id exchange's
+    sorted partitions (a shifted compare, no window state across
+    partitions); each partition pre-aggregates to the tiny types²
+    matrix, so the driver combine is types² x partitions rows."""
+    from ..stages.window import segment_codes
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        codes = segment_codes(g["user_id"].to_numpy())
+        et = g["event_type"].to_numpy(object)
+        n = len(et)
+        if n < 2:
+            return pd.DataFrame({"prev_type": pd.Series(dtype=object),
+                                 "next_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        same = codes[1:] == codes[:-1]
+        out = pd.DataFrame({"prev_type": et[:-1][same],
+                            "next_type": et[1:][same]})
+        out = out.groupby(["prev_type", "next_type"],
+                          as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = partitioned_apply(ds, "user_id", fn, EVENTS_P,
+                              sort_cols=["user_id", "ts", "event_id"]) \
+        .limit(_COMBINE_MAX_ROWS + 1).to_pandas()
+    if len(parts) > _COMBINE_MAX_ROWS:
+        raise ValueError("event_transitions: transition matrix too "
+                         "large for the driver combine")
+    out = parts.groupby(["prev_type", "next_type"],
+                        as_index=False).agg(n=("n", "sum"))
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+@register("part_pareto", sql="""
+    SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+    FROM part p1
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part p2
+      WHERE p2.p_retailprice <= p1.p_retailprice
+        AND p2.p_size >= p1.p_size
+        AND (p2.p_retailprice < p1.p_retailprice
+             OR p2.p_size > p1.p_size))""")
+def part_pareto(sf_dir: str):
+    """Skyline (Pareto front) query: parts not dominated on
+    (cheaper price, larger size) — the multi-criteria shortlist
+    operator (Börzsönyi et al. 2001) outside plain SQL aggregates.
+
+    Scale plan: every block computes its LOCAL front (sort by price,
+    two running-max scans — any global-front point is front within
+    its block, so local fronts are a sound candidate reduction); the
+    candidate union is front-sized (guarded) and the same vectorized
+    scan finishes on the driver. Zero shuffle."""
+    ds = rd.read_parquet(_path(sf_dir, "part"),
+                         columns=["p_partkey", "p_retailprice",
+                                  "p_size"])
+
+    def front(g: pd.DataFrame) -> pd.DataFrame:
+        price = g["p_retailprice"].to_numpy(np.float64)
+        size = g["p_size"].to_numpy(np.int64)
+        n = len(price)
+        if n == 0:
+            return pd.DataFrame({
+                "p_partkey": pd.Series(dtype=np.int64),
+                "p_retailprice": pd.Series(dtype=np.float64),
+                "p_size": pd.Series(dtype=np.int64)})
+        order = np.lexsort((-size, price))
+        pr, sz = price[order], size[order]
+        # within an equal-price group only max-size points survive
+        # (same price + larger size dominates); that max survives
+        # overall iff it beats every strictly-cheaper size
+        # (cheaper + size >= s dominates). Vectorized: group max via
+        # first-in-group (sorted size desc inside price), prefix max
+        # of PRIOR groups via cummax shifted one group back.
+        grp_first = np.empty(n, bool)
+        grp_first[0] = True
+        grp_first[1:] = pr[1:] != pr[:-1]
+        gid = np.cumsum(grp_first) - 1
+        gmax = sz[np.flatnonzero(grp_first)]       # first = max
+        prior = np.empty(len(gmax), np.int64)
+        prior[0] = np.iinfo(np.int64).min
+        if len(gmax) > 1:
+            prior[1:] = np.maximum.accumulate(gmax[:-1])
+        keep = (sz == gmax[gid]) & (gmax[gid] > prior[gid])
+        out = g.iloc[order[keep]]
+        return pd.DataFrame({
+            "p_partkey": out["p_partkey"].to_numpy(np.int64),
+            "p_retailprice":
+                out["p_retailprice"].to_numpy(np.float64),
+            "p_size": out["p_size"].to_numpy(np.int64)})
+
+    cands = ds.map_batches(front, batch_format="pandas") \
+        .limit(_COMBINE_MAX_ROWS + 1).to_pandas()
+    if len(cands) > _COMBINE_MAX_ROWS:
+        raise ValueError("part_pareto: candidate front too large for "
+                         "the driver combine")
+    return front(cands).reset_index(drop=True)
+
+
 @register("user_value_trend", sql="""
     WITH s AS (SELECT user_id,
                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
@@ -1994,6 +2108,107 @@ def region_orders(sf_dir: str):
 #: (both use leftmost-first alternation; no \p classes, no \w).
 _BPE_PAT = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
             r"| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+")
+
+
+#: bpe_merges: learned merge rules and the vocab-pull guard
+_BPE_ROUNDS = 20
+_BPE_VOCAB_MAX = 20_000_000
+
+
+def _bpe_learn(vocab: pd.DataFrame, rounds: int) -> pd.DataFrame:
+    """Classic count-weighted BPE merge learning (Sennrich et al.
+    2016) over a (token, count) vocabulary: per round, count every
+    adjacent symbol pair weighted by token frequency, take the argmax
+    (ties -> lexicographically smallest pair), and greedily merge it
+    left-to-right in every word. Deterministic — integer counts, total
+    tie order, no RNG. Bounded by the VOCAB (not the corpus): this is
+    the standard trainer shape, where the corpus-scale work is the
+    distributed vocab collapse that precedes it."""
+    words = [tuple(t) for t in vocab["token"]]
+    freqs = vocab["n"].to_numpy(np.int64)
+    out = {"rank": [], "left": [], "right": [], "n": []}
+    for r in range(rounds):
+        stats: dict = {}
+        for w, f in zip(words, freqs):
+            for i in range(len(w) - 1):
+                p = (w[i], w[i + 1])
+                stats[p] = stats.get(p, 0) + int(f)
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, rt), n = best
+        merged = l + rt
+        new_words = []
+        for w in words:
+            if len(w) < 2:
+                new_words.append(w)
+                continue
+            nw, i = [], 0
+            while i < len(w):
+                if i < len(w) - 1 and w[i] == l and w[i + 1] == rt:
+                    nw.append(merged)
+                    i += 2
+                else:
+                    nw.append(w[i])
+                    i += 1
+            new_words.append(tuple(nw))
+        words = new_words
+        out["rank"].append(r + 1)
+        out["left"].append(l)
+        out["right"].append(rt)
+        out["n"].append(n)
+    return pd.DataFrame({
+        "rank": np.asarray(out["rank"], np.int64),
+        "left": np.asarray(out["left"], object),
+        "right": np.asarray(out["right"], object),
+        "n": np.asarray(out["n"], np.int64)})
+
+
+@register("bpe_merges")   # iterative -> pytest reference oracle
+def bpe_merges(sf_dir: str):
+    """BPE tokenizer TRAINING: the top merge rules learned from the
+    corpus (rank, left, right, weighted pair count) — the workload
+    that turns a raw corpus into a subword vocabulary.
+
+    Scale plan: phase A is the corpus-scale pass — per-batch (token,
+    count) partials, ONE token exchange, and a guarded vocab pull
+    (the 20M knob shared with doc_tfidf; real trainers run on exactly
+    this count-collapsed table). Phase B (the merge loop) is bounded
+    by VOCAB size x rounds, independent of corpus rows — state that
+    fits because phase A collapsed 100 TB to a frequency table.
+    Verified against an independent reference implementation in
+    pytest (exact frame equality) plus determinism."""
+    from ..stages.partition import partition_map
+    from ..stages.dedup import _tokenize
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["text"])
+
+    def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in _tokenize(b["text"]):
+            toks.extend(t)
+        if not toks:
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, object), return_counts=True)
+        return pd.DataFrame({"token": u, "n": c.astype(np.int64)})
+
+    def tok_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    vocab = partition_map(
+        ds.map_batches(tok_partial, batch_format="pandas"),
+        ["token"], tok_combine, 16) \
+        .limit(_BPE_VOCAB_MAX + 1).to_pandas()
+    if len(vocab) > _BPE_VOCAB_MAX:
+        raise ValueError("bpe_merges: vocabulary too large to pull; "
+                         "apply a min-count cutoff first")
+    vocab = vocab.sort_values("token", kind="mergesort") \
+        .reset_index(drop=True)
+    return _bpe_learn(vocab, _BPE_ROUNDS)
 
 
 @register("doc_bpe_tokens", sql="""

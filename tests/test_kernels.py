@@ -511,3 +511,64 @@ def test_asof_forward_direction_hand_case():
                            ["k", "ts"], direction="forward")
     assert out["val"].tolist()[:2] == ["a", "b"]   # 20 matches exactly
     assert pd.isna(out["val"].iloc[2])             # nothing after 99
+
+
+def test_bpe_merges_matches_reference(sf_small):
+    """bpe_merges vs an INDEPENDENT reference trainer: vocab built by
+    DuckDB (not the engine's exchange), merge loop written with
+    Counter/sorted instead of the engine's dict/min — exact frame
+    equality proves both the distributed vocab collapse and the merge
+    arithmetic; a second run proves determinism."""
+    from collections import Counter
+
+    import duckdb
+
+    from nuclei_feature_extraction_ray.pipelines.queries import (
+        QUERIES, _BPE_ROUNDS)
+
+    got = QUERIES["bpe_merges"](sf_small)
+    got2 = QUERIES["bpe_merges"](sf_small)
+    pd.testing.assert_frame_equal(got, got2)
+
+    vocab = duckdb.connect().execute("""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(
+                   trim(text, E' \t\n\r\f'), '[ \t\n\r\f]+')) AS t
+          FROM read_parquet('%s/documents.parquet')
+          WHERE trim(text, E' \t\n\r\f') <> '')
+        SELECT t, count(*) AS n FROM toks WHERE t <> ''
+        GROUP BY t ORDER BY t""" % sf_small).df()
+
+    words = {tuple(t): int(n) for t, n in zip(vocab["t"], vocab["n"])}
+    ranks, lefts, rights, ns = [], [], [], []
+    for r in range(_BPE_ROUNDS):
+        stats = Counter()
+        for w, f in words.items():
+            for a, b in zip(w, w[1:]):
+                stats[(a, b)] += f
+        if not stats:
+            break
+        best = sorted(stats.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[0]
+        (l, rt), n = best
+        nxt = Counter()
+        for w, f in words.items():
+            nw, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and (w[i], w[i + 1]) == (l, rt):
+                    nw.append(l + rt)
+                    i += 2
+                else:
+                    nw.append(w[i])
+                    i += 1
+            nxt[tuple(nw)] += f
+        words = dict(nxt)
+        ranks.append(r + 1)
+        lefts.append(l)
+        rights.append(rt)
+        ns.append(n)
+    want = pd.DataFrame({"rank": np.asarray(ranks, np.int64),
+                         "left": np.asarray(lefts, object),
+                         "right": np.asarray(rights, object),
+                         "n": np.asarray(ns, np.int64)})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
