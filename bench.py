@@ -74,7 +74,10 @@ BENCH_QUERIES = [
     "url_versions", "trending_terms", "top_event_type",
     "price_histogram", "kmeans_clusters", "user_value_trend",
     "value_outliers", "event_transitions", "part_pareto",
-    "bpe_merges",
+    "bpe_merges", "q6_revenue", "q5_local_supplier", "decile_lift",
+    "gini_spend", "chi2_lang_source", "orders_monthly",
+    "keyness_loglik", "winsorized_stats", "bm25_scores",
+    "part_linkage",
 ]
 
 
