@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "gini_spend", "chi2_lang_source", "orders_monthly",
     "keyness_loglik", "winsorized_stats", "bm25_scores",
     "part_linkage",
+    "q14_promo", "q18_big_orders", "q4_priority", "user_streaks",
+    "interval_merge", "cumulative_users", "doc_readability",
+    "basket_pairs", "target_encode", "feature_scale", "time_features",
 ]
 
 

@@ -43,7 +43,7 @@ from ..stages import dedup as dedup_mod
 from ..stages.asof import asof_join
 from ..stages.multimodal import DecodeMedia, make_payload
 from ..stages import partition as partition_stage
-from ..stages.partition import partitioned_apply
+from ..stages.partition import partition_map, partitioned_apply
 from ..stages.rangejoin import range_join
 from ..stages.window import (add_backfill, add_ewma_rows, add_lag_lead,
                              add_rolling_quantiles, add_rolling_rows,
@@ -7472,6 +7472,639 @@ def part_linkage(sf_dir: str):
     return partition_map(
         ds.map_batches(name_partial, batch_format="pandas"),
         ["blk"], block_pairs, 8)
+
+
+# ===========================================================================
+# TPC-H-shaped additions: promo share (Q14), large-volume orders (Q18),
+# priority semi-join census (Q4 flavor on available columns)
+# ===========================================================================
+
+_Q18_MIN_QTY = 250
+
+
+@register("q14_promo", sql="""
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    ELSE 0 END) AS BIGINT) AS promo_cp,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS total_cp,
+           CAST(count(*) AS BIGINT) AS n_items,
+           100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS DOUBLE) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-06-01'""")
+def q14_promo(sf_dir: str):
+    """TPC-H-Q14-shaped promo-revenue share: what fraction of a date
+    slice's discounted revenue came from promo-type parts. The part
+    dimension collapses to a sorted int64 array of promo partkeys
+    broadcast once (guarded J2 lookup — never per batch); lineitem is
+    pruned AND date-filtered at the read; each batch emits one
+    3-column integer partial, so nothing row-grain ever shuffles.
+    Revenue crosses engines as exact integer cents x percent; the one
+    float division happens once, identically, in both engines."""
+    lo, hi = datetime(1996, 3, 1), datetime(1996, 6, 1)
+    part = _read_dim(_path(sf_dir, "part"), ["p_partkey", "p_type"])
+    promo = np.sort(part.loc[part["p_type"] == "PROMO",
+                             "p_partkey"].to_numpy(np.int64))
+    ds = rd.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= pa.scalar(lo, pa.timestamp("us")))
+                & (pc.field("l_shipdate") < pa.scalar(hi, pa.timestamp("us")))))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["l_extendedprice"].to_numpy()
+                         * 100).astype(np.int64)
+        pct = 100 - np.round(b["l_discount"].to_numpy()
+                             * 100).astype(np.int64)
+        rev = cents * pct
+        is_promo = _sorted_member(promo,
+                                  b["l_partkey"].to_numpy(np.int64))
+        return pd.DataFrame({"k": np.zeros(1, np.int64),
+                             "promo_cp": [rev[is_promo].sum()],
+                             "total_cp": [rev.sum()],
+                             "n_items": [np.int64(len(b))]})
+
+    out = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"), ["k"],
+        ["promo_cp", "total_cp", "n_items"])
+    promo_cp = np.int64(out["promo_cp"].iloc[0])
+    total_cp = np.int64(out["total_cp"].iloc[0])
+    return pd.DataFrame({
+        "promo_cp": [promo_cp], "total_cp": [total_cp],
+        "n_items": out["n_items"].to_numpy(np.int64),
+        "promo_share": [100.0 * np.float64(promo_cp)
+                        / np.float64(total_cp)]})
+
+
+@register("q18_big_orders", sql="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250)
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           sum_qty
+    FROM orders JOIN big ON o_orderkey = l_orderkey
+    ORDER BY totalprice_cents DESC, o_orderkey""")
+def q18_big_orders(sf_dir: str):
+    """TPC-H-Q18-shaped large-volume-order report: orders whose total
+    line quantity exceeds a threshold, joined back to the order
+    header. Scale plan: lineitem pre-aggregates per batch to
+    (orderkey, qty) grain, ONE hash exchange on orderkey finishes the
+    sums and applies the HAVING — only then does the (tiny, tail-of-
+    distribution) winner set come to the driver under the combine
+    guard and broadcast into the orders scan as a sorted key array +
+    aligned qty lookup. Order rows never shuffle; quantities are
+    integral doubles summed exactly below 2^53."""
+    li = rd.read_parquet(_path(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        return pd.DataFrame({
+            "key": g["l_orderkey"].to_numpy(np.int64),
+            "qty": np.round(g["l_quantity"].to_numpy()).astype(np.int64)})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("key", as_index=False)["qty"].sum()
+        t = t[t["qty"] > _Q18_MIN_QTY]
+        return pd.DataFrame({"key": t["key"].to_numpy(np.int64),
+                             "qty": t["qty"].to_numpy(np.int64)})
+
+    big = partition_map(
+        li.map_batches(qty_partial, batch_format="pandas"),
+        ["key"], finish, 16)
+    bdf = big.limit(_COMBINE_MAX_ROWS + 1).to_pandas()
+    if len(bdf) > _COMBINE_MAX_ROWS:
+        raise ValueError(
+            "q18_big_orders: winner set exceeds %d rows — raise the "
+            "quantity threshold or keep the result distributed"
+            % _COMBINE_MAX_ROWS)
+    order_ = np.argsort(bdf["key"].to_numpy(np.int64), kind="stable")
+    keys = bdf["key"].to_numpy(np.int64)[order_]
+    qtys = bdf["qty"].to_numpy(np.int64)[order_]
+
+    orders = rd.read_parquet(_path(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        keep = _sorted_member(keys, k)
+        b = b[keep]
+        pos = np.searchsorted(keys, b["o_orderkey"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(np.int64),
+            "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+            "o_orderdate": b["o_orderdate"].to_numpy(),
+            "totalprice_cents": np.round(
+                b["o_totalprice"].to_numpy() * 100).astype(np.int64),
+            "sum_qty": qtys[pos]})
+
+    out = orders.map_batches(attach, batch_format="pandas").to_pandas()
+    return out.sort_values(["totalprice_cents", "o_orderkey"],
+                           ascending=[False, True],
+                           kind="mergesort").reset_index(drop=True)
+
+
+@register("q4_priority", sql="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+def q4_priority(sf_dir: str):
+    """TPC-H-Q4-shaped priority census: per order priority, how many
+    1996 orders had at least one returned line. Large-large SEMI-join
+    with no broadcast (the returned-orderkey set is fact-sized at
+    scale): both sides stream key partials into ONE co-partitioning
+    exchange — orders as (orderkey, priority), lineitem collapsed to
+    per-batch DISTINCT returned orderkeys — each partition
+    semi-merges vectorized and emits bounded (priority, count)
+    partials; the final combine is 5 rows. The anti-join twin is
+    cust_no_orders (reference J5); this is J6's EXISTS flavor."""
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    orders = rd.read_parquet(
+        _path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+                & (pc.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us")))))
+    li = rd.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag"],
+        filter=(pc.field("l_returnflag") == "R"))
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["o_orderkey"].to_numpy(np.int64),
+            "prio": b["o_orderpriority"].astype(object),
+            "side": np.zeros(len(b), np.int64)})
+
+    def returned_keys(b: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(b["l_orderkey"].to_numpy(np.int64))
+        return pd.DataFrame({"key": k,
+                             "prio": np.full(len(k), "", object),
+                             "side": np.ones(len(k), np.int64)})
+
+    both = orders.map_batches(order_rows, batch_format="pandas").union(
+        li.map_batches(returned_keys, batch_format="pandas"))
+
+    def semi_count(g: pd.DataFrame) -> pd.DataFrame:
+        has = np.unique(g.loc[g["side"] == 1, "key"].to_numpy(np.int64))
+        o = g[g["side"] == 0]
+        keep = _sorted_member(has, o["key"].to_numpy(np.int64))
+        c = o.loc[keep].groupby("prio", as_index=False).agg(
+            n=("key", "size"))
+        return pd.DataFrame({"o_orderpriority": c["prio"].astype(object),
+                             "n": c["n"].to_numpy(np.int64)})
+
+    partials = partition_map(both, ["key"], semi_count, 16)
+    out = _combine_partials(partials, ["o_orderpriority"], ["n"])
+    out = out.rename(columns={"n": "n_orders"})
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("o_orderpriority",
+                           kind="mergesort").reset_index(drop=True)
+
+
+# ===========================================================================
+# events: activity streaks, interval coalescing, first-seen growth
+# ===========================================================================
+
+_MERGE_WINDOW_SEC = 3600
+
+
+@register("user_streaks", sql="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+               FROM events),
+    g AS (SELECT user_id, day,
+                 day - CAST(row_number() OVER (
+                     PARTITION BY user_id ORDER BY day)
+                     AS INTEGER) AS anchor
+          FROM d),
+    s AS (SELECT user_id, anchor, count(*) AS streak
+          FROM g GROUP BY user_id, anchor)
+    SELECT user_id,
+           CAST(max(streak) AS BIGINT) AS max_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(sum(streak) AS BIGINT) AS active_days
+    FROM s GROUP BY user_id ORDER BY user_id""")
+def user_streaks(sf_dir: str):
+    """Gaps-and-islands activity streaks: per user, the longest run of
+    CONSECUTIVE active calendar days, how many distinct runs, and
+    total active days — the classic engagement / freshness feature a
+    training-data curator derives from event logs. Scale plan: each
+    batch collapses to DISTINCT (user, day) rows first (bounded by
+    users x days, not event count), ONE hash exchange on user_id
+    co-locates each user's days, and the island arithmetic
+    (day - rank) runs vectorized across ALL users in a partition via
+    two numpy diffs + a C groupby — never a per-user Python loop."""
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "day": b["ts"].dt.normalize().to_numpy()})
+        return d.drop_duplicates(ignore_index=True)
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        days = g["day"].to_numpy("datetime64[D]").astype(np.int64)
+        if not len(u):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=np.int64),
+                "max_streak": pd.Series(dtype=np.int64),
+                "n_streaks": pd.Series(dtype=np.int64),
+                "active_days": pd.Series(dtype=np.int64)})
+        brk = np.r_[True, (u[1:] != u[:-1])
+                    | ((days[1:] - days[:-1]) != 1)]
+        grp = np.cumsum(brk)
+        runs = pd.DataFrame({"user_id": u, "grp": grp}).groupby(
+            ["user_id", "grp"], as_index=False).agg(
+                streak=("grp", "size"))
+        out = runs.groupby("user_id", as_index=False).agg(
+            max_streak=("streak", "max"),
+            n_streaks=("streak", "size"),
+            active_days=("streak", "sum"))
+        return out.astype({"user_id": np.int64, "max_streak": np.int64,
+                           "n_streaks": np.int64,
+                           "active_days": np.int64})
+
+    out = partitioned_apply(
+        ds.map_batches(day_partial, batch_format="pandas"),
+        "user_id", islands, EVENTS_P).to_pandas()
+    return out.sort_values("user_id",
+                           kind="mergesort").reset_index(drop=True)
+
+
+@register("interval_merge", sql="""
+    WITH iv AS (SELECT user_id, ts AS s,
+                       ts + INTERVAL 1 HOUR AS e FROM events),
+    m AS (SELECT user_id, s, e,
+                 CASE WHEN s > max(e) OVER (
+                     PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS new_grp
+          FROM iv),
+    g AS (SELECT user_id, s, e,
+                 sum(new_grp) OVER (
+                     PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS grp
+          FROM m)
+    SELECT user_id, min(s) AS cover_start, max(e) AS cover_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, grp
+    ORDER BY user_id, cover_start""")
+def interval_merge(sf_dir: str):
+    """Interval coalescing (gaps-and-islands over time ranges): each
+    event claims a 1-hour window; overlapping windows per user merge
+    into maximal covered intervals — the 'busy periods' primitive
+    behind rate-limit audits and session coverage maps. Scale plan:
+    ONE hash exchange on user_id, then a running 'max end so far'
+    per user via a C-level groupby cummax + shift; a new island
+    starts where the next start exceeds that watermark. No per-user
+    Python loop; interval endpoints stay int64 microseconds on the
+    wire."""
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        s = g["ts"].to_numpy()
+        e = s + np.timedelta64(_MERGE_WINDOW_SEC, "s")
+        f = pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64),
+                          "s": s, "e": e})
+        prev_max_e = f.groupby("user_id")["e"].transform(
+            lambda col: col.cummax().shift(1))
+        new_grp = (f["s"] > prev_max_e) | prev_max_e.isna()
+        f["grp"] = new_grp.to_numpy().cumsum()
+        out = f.groupby(["user_id", "grp"], as_index=False).agg(
+            cover_start=("s", "min"), cover_end=("e", "max"),
+            n_events=("s", "size"))
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out.drop(columns=["grp"])
+
+    out = partitioned_apply(ds, "user_id", merge, EVENTS_P).to_pandas()
+    return out.sort_values(["user_id", "cover_start"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+@register("cumulative_users", sql="""
+    WITH f AS (SELECT user_id, min(ts) AS first_ts
+               FROM events GROUP BY user_id),
+    m AS (SELECT CAST(first_ts AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS new_users
+          FROM f GROUP BY 1)
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+               AS cum_users
+    FROM m ORDER BY day""")
+def cumulative_users(sf_dir: str):
+    """First-seen growth curve: per calendar day, how many users
+    appeared for the FIRST time, and the running total — the corpus
+    growth / contributor-accretion view. Scale plan: per-batch
+    (user, min ts) partials, ONE hash exchange on user_id finishes
+    the exact first-seen instant (user cardinality is fact-sized —
+    never a driver combine), partitions re-collapse to the bounded
+    calendar-day grid, and only that tiny grid reaches the driver
+    for the cumulative sum."""
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def first_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("user_id", as_index=False)["ts"].min()
+        return pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64),
+                             "ts": g["ts"].to_numpy()})
+
+    def day_grid(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("user_id", as_index=False)["ts"].min()
+        d = pd.DataFrame({"day": f["ts"].dt.normalize().to_numpy()})
+        c = d.groupby("day", as_index=False).agg(n=("day", "size"))
+        c["n"] = c["n"].astype(np.int64)
+        return c
+
+    grid = _combine_partials(
+        partitioned_apply(
+            ds.map_batches(first_partial, batch_format="pandas"),
+            "user_id", day_grid, EVENTS_P),
+        ["day"], ["n"]).rename(columns={"n": "new_users"})
+    grid = grid.sort_values("day",
+                            kind="mergesort").reset_index(drop=True)
+    grid["new_users"] = grid["new_users"].astype(np.int64)
+    grid["cum_users"] = grid["new_users"].cumsum().astype(np.int64)
+    return grid
+
+
+# ===========================================================================
+# feature engineering: readability, market-basket pairs, target encoding,
+# per-group scaling, cyclical time features
+# ===========================================================================
+
+_BASKET_MIN_SUPPORT = 2
+_TENC_SMOOTH = 20.0
+
+
+@register("doc_readability", sql="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                 AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                 AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 AS BIGINT) AS n_syllables
+      FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206.835
+             - 1.015 * (CAST(n_words AS DOUBLE)
+                        / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE)
+                       / CAST(greatest(n_words, 1) AS DOUBLE))
+               AS flesch
+    FROM c ORDER BY doc_id""")
+def doc_readability(sf_dir: str):
+    """Flesch reading-ease per document with the standard vowel-group
+    syllable heuristic — the readability feature quality classifiers
+    and curricula bucket on. Stateless row-local map: three compiled
+    regex counts per text (words, sentence terminators, vowel
+    groups), zero shuffles, and the score composed in the identical
+    operation order in both engines (two divisions, then the fused
+    subtract) so doubles agree bit-for-bit before the driver's
+    round(6)."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].astype(str)
+        words = t.str.count(r"\S+").to_numpy(np.int64)
+        sents = np.maximum(
+            t.str.count(r"[.!?]+").to_numpy(np.int64), 1)
+        syll = t.str.lower().str.count(
+            r"[aeiouy]+").to_numpy(np.int64)
+        flesch = (206.835
+                  - 1.015 * (words.astype(np.float64)
+                             / sents.astype(np.float64))
+                  - 84.6 * (syll.astype(np.float64)
+                            / np.maximum(words, 1).astype(np.float64)))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "n_words": words, "n_sentences": sents,
+            "n_syllables": syll, "flesch": flesch})
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id",
+                           kind="mergesort").reset_index(drop=True)
+
+
+@register("basket_pairs", sql="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b""")
+def basket_pairs(sf_dir: str):
+    """Market-basket pair mining: part pairs co-ordered in >= 2
+    distinct orders — the co-occurrence support census behind
+    association rules and complementary-item features. Scale plan:
+    TWO bounded hash exchanges. Exchange 1 co-locates each order's
+    (distinct) parts; pair enumeration is vectorized per ORDER via a
+    C merge of the partition frame with itself on orderkey (order
+    sizes are bounded, so the blow-up is C(size,2) per order, never
+    quadratic in the partition). Each partition emits per-pair
+    partial counts; exchange 2 co-locates pair keys to finish the
+    count and apply the support filter — pair cardinality is
+    fact-sized, so no driver combine."""
+    ds = rd.read_parquet(_path(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey"])
+
+    def dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "l_partkey": b["l_partkey"].to_numpy(np.int64),
+        }).drop_duplicates(ignore_index=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        c = m.groupby(["l_partkey_x", "l_partkey_y"],
+                      as_index=False).agg(n=("l_orderkey", "size"))
+        return pd.DataFrame({
+            "part_a": c["l_partkey_x"].to_numpy(np.int64),
+            "part_b": c["l_partkey_y"].to_numpy(np.int64),
+            "n": c["n"].to_numpy(np.int64)})
+
+    def support(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["part_a", "part_b"], as_index=False)["n"].sum()
+        t = t[t["n"] >= _BASKET_MIN_SUPPORT]
+        return pd.DataFrame({
+            "part_a": t["part_a"].to_numpy(np.int64),
+            "part_b": t["part_b"].to_numpy(np.int64),
+            "n_orders": t["n"].to_numpy(np.int64)})
+
+    per_order = partitioned_apply(
+        ds.map_batches(dedup, batch_format="pandas"),
+        "l_orderkey", pairs, 16)
+    out = partition_map(per_order, ["part_a", "part_b"], support,
+                        16).to_pandas()
+    return out.sort_values(["n_orders", "part_a", "part_b"],
+                           ascending=[False, True, True],
+                           kind="mergesort").reset_index(drop=True)
+
+
+@register("target_encode", sql="""
+    WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n_chars) AS BIGINT) AS s
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tn,
+                 CAST(sum(s) AS DOUBLE) AS ts FROM g)
+    SELECT source, n_docs,
+           CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE) AS raw_mean,
+           (CAST(s AS DOUBLE) + 20.0 * (ts / tn))
+             / (CAST(n_docs AS DOUBLE) + 20.0) AS encoded
+    FROM g, t ORDER BY source""")
+def target_encode(sf_dir: str):
+    """Smoothed target (mean) encoding of a categorical column — the
+    classic feature-engineering transform: each category's target
+    mean shrunk toward the global mean by a pseudo-count prior, so
+    rare categories don't memorize noise. Per-batch (source, n, sum)
+    integer partials, one tiny combine, and the smoothing formula
+    composed in the identical order in both engines (global mean
+    first, then one fused (s + m*gm)/(n + m) per category)."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("source", as_index=False).agg(
+            n=("n_chars", "size"), s=("n_chars", "sum"))
+        g["n"] = g["n"].astype(np.int64)
+        g["s"] = g["s"].astype(np.int64)
+        return g
+
+    g = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source"], ["n", "s"])
+    n = g["n"].to_numpy(np.int64)
+    s = g["s"].to_numpy(np.int64)
+    gmean = np.float64(int(s.sum())) / np.float64(int(n.sum()))
+    nf = n.astype(np.float64)
+    sf_ = s.astype(np.float64)
+    out = pd.DataFrame({
+        "source": g["source"].astype(object),
+        "n_docs": n,
+        "raw_mean": sf_ / nf,
+        "encoded": (sf_ + _TENC_SMOOTH * gmean) / (nf + _TENC_SMOOTH)})
+    return out.sort_values("source",
+                           kind="mergesort").reset_index(drop=True)
+
+
+@register("feature_scale", sql="""
+    WITH b AS (SELECT lang, CAST(min(n_chars) AS BIGINT) AS lo,
+                      CAST(max(n_chars) AS BIGINT) AS hi
+               FROM documents GROUP BY lang)
+    SELECT doc_id, d.lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CASE WHEN hi = lo THEN 0.0
+                ELSE CAST(n_chars - lo AS DOUBLE)
+                     / CAST(hi - lo AS DOUBLE) END AS scaled
+    FROM documents d JOIN b USING (lang) ORDER BY doc_id""")
+def feature_scale(sf_dir: str):
+    """Per-group min-max feature scaling: each document's length
+    normalized to [0, 1] within its language — the unit-range
+    rescale every tabular feature pipeline applies before mixing
+    features of different magnitudes. Two passes, zero shuffles:
+    per-batch (lang, min, max) partials collapse to a tiny combine,
+    the bounds broadcast back as a dict, and the scaled value is one
+    vectorized int-subtract + divide per batch (degenerate
+    single-value groups map to 0.0 in both engines)."""
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def bounds(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("lang", as_index=False).agg(
+            lo=("n_chars", "min"), hi=("n_chars", "max"))
+        return g.astype({"lo": np.int64, "hi": np.int64})
+
+    parts = ds.map_batches(bounds, batch_format="pandas")
+    pdf = parts.limit(_COMBINE_MAX_ROWS + 1).to_pandas()
+    if len(pdf) > _COMBINE_MAX_ROWS:
+        raise ValueError(
+            "feature_scale: > %d (lang, min, max) partial rows — "
+            "group cardinality too high for a driver combine; use "
+            "stages.partition.partition_map" % _COMBINE_MAX_ROWS)
+    pdf = pdf.groupby("lang", as_index=False).agg(
+        lo=("lo", "min"), hi=("hi", "max"))
+    lo = dict(zip(pdf["lang"], pdf["lo"].astype(np.int64)))
+    hi = dict(zip(pdf["lang"], pdf["hi"].astype(np.int64)))
+
+    def scale(b: pd.DataFrame) -> pd.DataFrame:
+        l = b["lang"].map(lo).to_numpy(np.int64)
+        h = b["lang"].map(hi).to_numpy(np.int64)
+        x = b["n_chars"].to_numpy(np.int64)
+        span = h - l
+        scaled = np.where(span == 0, 0.0,
+                          (x - l).astype(np.float64)
+                          / np.where(span == 0, 1, span)
+                          .astype(np.float64))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "lang": b["lang"].astype(object),
+            "n_chars": x, "scaled": scaled})
+
+    out = ds.map_batches(scale, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id",
+                           kind="mergesort").reset_index(drop=True)
+
+
+@register("time_features", sql="""
+    SELECT event_id,
+           CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(month(ts) AS BIGINT) AS month,
+           sin(2 * pi() * CAST(hour(ts) AS DOUBLE) / 24.0) AS hour_sin,
+           cos(2 * pi() * CAST(hour(ts) AS DOUBLE) / 24.0) AS hour_cos
+    FROM events ORDER BY event_id""")
+def time_features(sf_dir: str):
+    """Calendar + cyclical time features: ISO day-of-week, hour,
+    month, and the sin/cos embedding of hour-of-day that lets linear
+    models see 23:00 and 01:00 as neighbors — the standard temporal
+    feature block. Stateless vectorized map (datetime64 field
+    extraction + a 24-entry trig table), zero shuffles; the trig
+    arguments are composed identically (2*pi*h/24) in both engines
+    so the doubles agree before the driver's round(6)."""
+    ds = _events(sf_dir, columns=["event_id", "ts"])
+
+    hours = np.arange(24, dtype=np.float64)
+    hsin = np.sin(2 * np.pi * hours / 24.0)
+    hcos = np.cos(2 * np.pi * hours / 24.0)
+
+    def feats(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["ts"].dt.hour.to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "dow": b["ts"].dt.dayofweek.to_numpy(np.int64) + 1,
+            "hour": h,
+            "month": b["ts"].dt.month.to_numpy(np.int64),
+            "hour_sin": hsin[h], "hour_cos": hcos[h]})
+
+    out = ds.map_batches(feats, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id",
+                           kind="mergesort").reset_index(drop=True)
 
 
 #: Flagship oracles pinned to the FRONT of the exported query order.
