@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "q14_promo", "q18_big_orders", "q4_priority", "user_streaks",
     "interval_merge", "cumulative_users", "doc_readability",
     "basket_pairs", "target_encode", "feature_scale", "time_features",
+    "cust_order_dist", "part_supplier_census", "robust_scale",
+    "k_anonymize", "source_diversity", "feature_corr",
 ]
 
 
