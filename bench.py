@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "basket_pairs", "target_encode", "feature_scale", "time_features",
     "cust_order_dist", "part_supplier_census", "robust_scale",
     "k_anonymize", "source_diversity", "feature_corr",
+    "triangle_count", "ab_test", "source_kl", "interarrival_stats",
 ]
 
 
