@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "cust_order_dist", "part_supplier_census", "robust_scale",
     "k_anonymize", "source_diversity", "feature_corr",
     "triangle_count", "ab_test", "source_kl", "interarrival_stats",
+    "embedding_covariance", "embedding_quantize", "label_centroid_sim",
+    "embedding_pca",
 ]
 
 
