@@ -85,7 +85,7 @@ BENCH_QUERIES = [
     "k_anonymize", "source_diversity", "feature_corr",
     "triangle_count", "ab_test", "source_kl", "interarrival_stats",
     "embedding_covariance", "embedding_quantize", "label_centroid_sim",
-    "embedding_pca",
+    "embedding_pca", "rrf_fusion", "template_overlap", "daily_anomaly",
 ]
 
 
