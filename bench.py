@@ -86,7 +86,8 @@ BENCH_QUERIES = [
     "triangle_count", "ab_test", "source_kl", "interarrival_stats",
     "embedding_covariance", "embedding_quantize", "label_centroid_sim",
     "embedding_pca", "rrf_fusion", "template_overlap", "daily_anomaly",
-    "rfm_segments", "orders_growth",
+    "rfm_segments", "orders_growth", "containment_pairs",
+    "benford_digits",
 ]
 
 

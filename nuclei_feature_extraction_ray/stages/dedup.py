@@ -196,6 +196,75 @@ def jaccard_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
     return partition_map(cand, ["a", "b"], score_part, num_partitions)
 
 
+def containment_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
+                      threshold: float = 0.8, max_df: int | None = None,
+                      num_partitions: int = 16):
+    """Asymmetric near-dup: all pairs (a < b) where EITHER document's
+    shingle set is >= ``threshold`` contained in the other's
+    (containment of A in B = |A∩B| / |A|) — the subset-duplicate
+    detector Jaccard misses (a short doc embedded verbatim in a long
+    one has high containment but low Jaccard). Identical inverted-
+    index plan to jaccard_pairs (posting exchange -> pair exchange);
+    only the per-pair score differs, and both divisions stay int/int
+    -> bit-identical to the SQL oracle."""
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sh, did, dsz = [], [], []
+        for i, toks in enumerate(_tokenize(texts)):
+            s = word_shingles(toks, ngram)
+            sh.append(s)
+            did.append(np.full(len(s), ids[i]))
+            dsz.append(np.full(len(s), len(s)))
+        cat = lambda xs, t: (np.concatenate(xs).astype(t) if xs
+                             else np.empty(0, t))
+        return pa.table({
+            "shingle": pa.array(cat(sh, np.int64)),
+            "doc": pa.array(cat(did, np.int64)),
+            "size": pa.array(cat(dsz, np.int64)),
+        })
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shingle", "doc"], kind="mergesort")
+        sh = g["shingle"].to_numpy()
+        d = g["doc"].to_numpy()
+        s = g["size"].to_numpy()
+        starts, ends = _segment_pairs(sh)
+        out_a, out_b, out_sa, out_sb = [], [], [], []
+        for st, en in zip(starts, ends):
+            m = en - st
+            if m < 2 or (max_df is not None and m > max_df):
+                continue
+            i, j = np.triu_indices(m, k=1)
+            out_a.append(d[st + i])
+            out_b.append(d[st + j])
+            out_sa.append(s[st + i])
+            out_sb.append(s[st + j])
+        if not out_a:
+            return _empty({"a": np.int64, "b": np.int64,
+                           "sa": np.int64, "sb": np.int64})
+        return pd.DataFrame({
+            "a": np.concatenate(out_a), "b": np.concatenate(out_b),
+            "sa": np.concatenate(out_sa), "sb": np.concatenate(out_sb)})
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["a", "b"], sort=False, as_index=False).agg(
+            inter=("sa", "size"), sa=("sa", "first"),
+            sb=("sb", "first"))
+        inter = agg["inter"].to_numpy(np.int64)
+        c_ab = inter / agg["sa"].to_numpy(np.int64)
+        c_ba = inter / agg["sb"].to_numpy(np.int64)
+        agg["cont_a_in_b"] = c_ab
+        agg["cont_b_in_a"] = c_ba
+        keep = (c_ab >= threshold) | (c_ba >= threshold)
+        return agg.loc[keep, ["a", "b", "cont_a_in_b", "cont_b_in_a"]]
+
+    post = ds.select_columns([text_col, id_col]).map_batches(
+        explode, batch_format="pyarrow")
+    cand = partition_map(post, ["shingle"], pairs_part, num_partitions)
+    return partition_map(cand, ["a", "b"], score_part, num_partitions)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (approximate near-dup at scale)
 # ---------------------------------------------------------------------------
