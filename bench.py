@@ -86,8 +86,12 @@ BENCH_QUERIES = [
     "triangle_count", "ab_test", "source_kl", "interarrival_stats",
     "embedding_covariance", "embedding_quantize", "label_centroid_sim",
     "embedding_pca", "rrf_fusion", "template_overlap", "daily_anomaly",
-    "rfm_segments", "orders_growth", "containment_pairs",
-    "benford_digits",
+    # containment_pairs is excluded for the same reason as
+    # jaccard_pairs: the exact inverted-index tier enumerates all
+    # in-posting pairs (quadratic in near-dup cluster size); the
+    # benched scale path for candidate generation is minhash_pairs.
+    "rfm_segments", "orders_growth", "benford_digits",
+    "dow_index", "new_vs_returning", "zipf_fit",
 ]
 
 

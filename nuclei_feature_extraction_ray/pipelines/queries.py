@@ -576,12 +576,17 @@ def vocab_topk(sf_dir: str):
     per-partition sum + partial top-k, tiny driver merge. Tokenization
     matches text_stats (split on the explicit ws class after strip) so
     the SQL oracle is exact."""
+    return _vocab_top(sf_dir, 100)
+
+
+def _vocab_top(sf_dir: str, K: int) -> pd.DataFrame:
+    """Exact global top-K (token, count) table — the vocab_topk plan,
+    factored for reuse by zipf_fit."""
     import re as _re
 
     from ..stages.partition import partition_map
     from ..functions.text_stats import WS_CLASS
     ws_re = _re.compile(WS_CLASS + "+")
-    K = 100
     ds = rd.read_parquet(_path(sf_dir, "documents"), columns=["text"])
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -8987,37 +8992,42 @@ def label_centroid_sim(sf_dir: str):
 
 def _pca_components(sf_dir: str, k: int = 2):
     """Top-k principal axes from the exact integer sufficient
-    statistics (the embedding_covariance reduction), eigendecomposed
-    on the driver (d x d is tiny). Signs are fixed deterministically:
-    each component's largest-|.| coordinate is made positive."""
+    statistics (the embedding_covariance reduction, SAME long-format
+    2080-row partial — a wide one-row frame was measured 2x slower
+    through the combine), eigendecomposed on the driver (d x d is
+    tiny). Signs are fixed deterministically: each component's
+    largest-|.| coordinate is made positive."""
     ds = rd.read_parquet(_path(sf_dir, "embeddings"),
                          columns=["embedding"])
+    iu, ju = np.triu_indices(_EMB_DIM)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         c = _emb_micro(b["embedding"])
         m = c.T @ c
         s = c.sum(axis=0)
-        row = {"n": np.int64(len(b))}
-        return pd.DataFrame([{**row, "k": np.int64(0),
-                              **{f"s{i}": s[i] for i in range(_EMB_DIM)},
-                              **{f"m{i}_{j}": m[i, j]
-                                 for i in range(_EMB_DIM)
-                                 for j in range(i, _EMB_DIM)}}])
+        return pd.DataFrame({
+            "i": (iu + 1).astype(np.int64),
+            "j": (ju + 1).astype(np.int64),
+            "n": np.full(len(iu), len(b), np.int64),
+            "si": s[iu], "sj": s[ju], "sij": m[iu, ju]})
 
     p = _combine_partials(
-        ds.map_batches(partial, batch_format="pandas"), ["k"],
-        ["n"] + [f"s{i}" for i in range(_EMB_DIM)]
-        + [f"m{i}_{j}" for i in range(_EMB_DIM)
-           for j in range(i, _EMB_DIM)])
-    n = int(p["n"].iloc[0])
-    s = np.asarray([int(p[f"s{i}"].iloc[0])
-                    for i in range(_EMB_DIM)], np.float64)
+        ds.map_batches(partial, batch_format="pandas"),
+        ["i", "j"], ["n", "si", "sj", "sij"])
+    diag = p[p["i"] == p["j"]].sort_values("i")
+    n = int(diag["n"].iloc[0])
+    s = np.zeros(_EMB_DIM, np.float64)
+    s[diag["i"].to_numpy(np.int64) - 1] = [
+        np.float64(int(v)) for v in diag["si"]]
     cov = np.zeros((_EMB_DIM, _EMB_DIM), np.float64)
-    for i in range(_EMB_DIM):
-        for j in range(i, _EMB_DIM):
-            v = (np.float64(n * int(p[f"m{i}_{j}"].iloc[0]))
-                 - s[i] * s[j]) / np.float64(n * (n - 1))
-            cov[i, j] = cov[j, i] = v
+    ii = p["i"].to_numpy(np.int64) - 1
+    jj = p["j"].to_numpy(np.int64) - 1
+    vals = np.asarray(
+        [np.float64(n * int(sij_) - int(si_) * int(sj_))
+         / np.float64(n * (n - 1))
+         for sij_, si_, sj_ in zip(p["sij"], p["si"], p["sj"])])
+    cov[ii, jj] = vals
+    cov[jj, ii] = vals
     w, v = np.linalg.eigh(cov)
     comps = v[:, ::-1][:, :k].T          # (k, d), descending variance
     for r in range(k):
@@ -9564,6 +9574,169 @@ def benford_digits(sf_dir: str):
                      "chi2_term": tot * (obs - exp) * (obs - exp)
                      / exp})
     return pd.DataFrame(rows)
+
+
+# ===========================================================================
+# day-of-week seasonality index, new-vs-returning split, Zipf fit
+# ===========================================================================
+
+
+@register("dow_index", sql="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    a AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(n) AS BIGINT) AS n_events
+          FROM d GROUP BY dow),
+    t AS (SELECT CAST(sum(n_events) AS BIGINT) AS te,
+                 CAST(sum(n_days) AS BIGINT) AS td FROM a)
+    SELECT dow, n_days, n_events,
+           (CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / (CAST(te AS DOUBLE) / CAST(td AS DOUBLE)) AS dow_index
+    FROM a, t ORDER BY dow""")
+def dow_index(sf_dir: str):
+    """Day-of-week seasonality index: each weekday's mean daily event
+    volume relative to the overall daily mean (1.0 = average day) —
+    the multiplicative seasonal factor a load model or freshness
+    monitor divides out. Bounded calendar-day grid partials, one
+    combine, ratios composed identically on the driver."""
+    ds = _events(sf_dir, columns=["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"day": b["ts"].dt.normalize().to_numpy()}) \
+            .groupby("day", as_index=False).agg(n=("day", "size"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    grid = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["day"], ["n"])
+    grid["dow"] = pd.to_datetime(grid["day"]).dt.dayofweek \
+        .to_numpy(np.int64) + 1
+    a = grid.groupby("dow", as_index=False).agg(
+        n_days=("n", "size"), n_events=("n", "sum"))
+    te = np.float64(int(a["n_events"].sum()))
+    td = np.float64(int(a["n_days"].sum()))
+    a = a.astype({"dow": np.int64, "n_days": np.int64,
+                  "n_events": np.int64})
+    a["dow_index"] = (a["n_events"].to_numpy(np.float64)
+                      / a["n_days"].to_numpy(np.float64)) / (te / td)
+    return a.sort_values("dow", kind="mergesort").reset_index(drop=True)
+
+
+@register("new_vs_returning", sql="""
+    WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+               FROM events GROUP BY user_id),
+    e AS (SELECT e.user_id, CAST(ts AS DATE) AS day, f.first_day
+          FROM events e JOIN f USING (user_id))
+    SELECT day,
+           CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_events,
+           CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_events
+    FROM e GROUP BY day ORDER BY day""")
+def new_vs_returning(sf_dir: str):
+    """New-vs-returning traffic split: per day, events from users on
+    their FIRST active day vs users seen before — the acquisition/
+    retention mix a growth dashboard leads with. ONE hash exchange
+    on user_id co-locates each user's history; the partition derives
+    first_day = min(day) per user and classifies every event
+    locally, emitting bounded (day, new, returning) grid partials —
+    no second pass, no broadcast of the user-grain first-seen
+    table."""
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def day_rows(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "day": b["ts"].dt.normalize().to_numpy()})
+        g = d.groupby(["user_id", "day"], as_index=False).agg(
+            n=("day", "size"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "day"], as_index=False).agg(
+            n=("n", "sum"))
+        first = g.groupby("user_id")["day"].transform("min")
+        is_new = g["day"].to_numpy() == first.to_numpy()
+        n = g["n"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "day": g["day"].to_numpy(),
+            "new_events": np.where(is_new, n, 0),
+            "returning_events": np.where(is_new, 0, n)})
+        c = out.groupby("day", as_index=False).agg(
+            new_events=("new_events", "sum"),
+            returning_events=("returning_events", "sum"))
+        return c.astype({"new_events": np.int64,
+                         "returning_events": np.int64})
+
+    out = _combine_partials(
+        partitioned_apply(
+            ds.map_batches(day_rows, batch_format="pandas"),
+            "user_id", classify, EVENTS_P),
+        ["day"], ["new_events", "returning_events"])
+    out = out.astype({"new_events": np.int64,
+                      "returning_events": np.int64})
+    return out.sort_values("day",
+                           kind="mergesort").reset_index(drop=True)
+
+
+@register("zipf_fit", sql="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(
+               trim(text, E' \\t\\n\\r\\f'), '[ \\t\\n\\r\\f]+'))
+               AS token
+      FROM documents
+      WHERE trim(text, E' \\t\\n\\r\\f') <> ''
+    ), c AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM toks GROUP BY token
+    ), top AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, token)
+                 AS rnk
+      FROM c ORDER BY freq DESC, token LIMIT 100
+    ), q AS (
+      SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6 + 0.5)
+                  AS BIGINT) AS xq,
+             CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5)
+                  AS BIGINT) AS yq
+      FROM top
+    ), s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(xq) AS HUGEINT) AS sx,
+             CAST(sum(yq) AS HUGEINT) AS sy,
+             CAST(sum(xq * yq) AS HUGEINT) AS sxy,
+             CAST(sum(xq * xq) AS HUGEINT) AS sxx
+      FROM q)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+    FROM s""")
+def zipf_fit(sf_dir: str):
+    """Zipf's-law fit: the log-log OLS slope of frequency vs rank
+    over the top-100 vocabulary — the single-number corpus-health
+    statistic (natural text ~ -1; template spam and boilerplate bend
+    it). The top-100 table is the vocab_topk plan (token-count
+    partials -> ONE token exchange -> partial top-k); both log
+    coordinates quantize half-away to integer micro-units so the
+    OLS sums are exact integers (order-free), and the slope is one
+    double division of exact products."""
+    top = _vocab_top(sf_dir, 100)
+    rnk = np.arange(1, len(top) + 1, dtype=np.float64)
+    freq = top["n"].to_numpy(np.int64).astype(np.float64)
+    xq = np.floor(np.log(rnk) * 1e6 + 0.5).astype(np.int64)
+    yq = np.floor(np.log(freq) * 1e6 + 0.5).astype(np.int64)
+    n = len(xq)
+    sx = int(xq.sum())
+    sy = int(yq.sum())
+    sxy = int((xq * yq).sum())
+    sxx = int((xq * xq).sum())
+    return pd.DataFrame({
+        "n_terms": [np.int64(n)],
+        "zipf_slope": [np.float64(n * sxy - sx * sy)
+                       / np.float64(n * sxx - sx * sx)]})
 
 
 #: Flagship oracles pinned to the FRONT of the exported query order.
