@@ -91,7 +91,7 @@ BENCH_QUERIES = [
     # in-posting pairs (quadratic in near-dup cluster size); the
     # benched scale path for candidate generation is minhash_pairs.
     "rfm_segments", "orders_growth", "benford_digits",
-    "dow_index", "new_vs_returning", "zipf_fit",
+    "dow_index", "new_vs_returning", "zipf_fit", "q7_trade_flow",
 ]
 
 
