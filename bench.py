@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     # benched scale path for candidate generation is minhash_pairs.
     "rfm_segments", "orders_growth", "benford_digits",
     "dow_index", "new_vs_returning", "zipf_fit", "q7_trade_flow",
+    # dup_cluster_hist excluded: it inherits jaccard_pairs' exact
+    # quadratic pair tier (same reason as dedup_clusters).
+    "ltv_cohorts", "discount_quantity_corr", "vocab_coverage",
 ]
 
 
