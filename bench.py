@@ -95,7 +95,8 @@ BENCH_QUERIES = [
     # dup_cluster_hist excluded: it inherits jaccard_pairs' exact
     # quadratic pair tier (same reason as dedup_clusters).
     "ltv_cohorts", "discount_quantity_corr", "vocab_coverage",
-    "dow_anova", "source_hhi",
+    "dow_anova", "source_hhi", "conversion_lag", "cheapest_supplier",
+    "part_churn",
 ]
 
 
