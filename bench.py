@@ -96,7 +96,9 @@ BENCH_QUERIES = [
     # quadratic pair tier (same reason as dedup_clusters).
     "ltv_cohorts", "discount_quantity_corr", "vocab_coverage",
     "dow_anova", "source_hhi", "conversion_lag", "cheapest_supplier",
-    "part_churn",
+    # dedup_survivor excluded: jaccard exact-tier sibling (see
+    # dedup_clusters / dup_cluster_hist).
+    "part_churn", "basket_lift", "user_type_entropy",
 ]
 
 
