@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     # dedup_survivor excluded: jaccard exact-tier sibling (see
     # dedup_clusters / dup_cluster_hist).
     "part_churn", "basket_lift", "user_type_entropy",
+    "tables_census", "missing_hours",
 ]
 
 
