@@ -99,7 +99,8 @@ BENCH_QUERIES = [
     # dedup_survivor excluded: jaccard exact-tier sibling (see
     # dedup_clusters / dup_cluster_hist).
     "part_churn", "basket_lift", "user_type_entropy",
-    "tables_census", "missing_hours",
+    "tables_census", "missing_hours", "value_quantiles",
+    "entity_clusters", "order_reorder_rate",
 ]
 
 
