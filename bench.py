@@ -100,7 +100,7 @@ BENCH_QUERIES = [
     # dedup_clusters / dup_cluster_hist).
     "part_churn", "basket_lift", "user_type_entropy",
     "tables_census", "missing_hours", "value_quantiles",
-    "entity_clusters", "order_reorder_rate",
+    "entity_clusters", "order_reorder_rate", "lang_confusion",
 ]
 
 
