@@ -109,6 +109,30 @@ def word_shingles(tokens: list[str], n: int = 3) -> np.ndarray:
     return np.unique(hash64(grams))
 
 
+def word_shingles_batch(token_lists, n: int = 3) -> tuple[np.ndarray,
+                                                          np.ndarray]:
+    """``word_shingles`` across a whole batch of documents with ONE
+    ``hash64`` kernel call over every gram of every document (values
+    identical per doc — same gram strings, same SipHash). Returns the
+    flat offsets form the posting-explode stages consume directly:
+    ``(flat, lens)`` where ``flat`` is the per-doc-distinct shingle
+    hashes concatenated in doc order and ``lens[i]`` is doc i's
+    distinct-shingle count — so the caller builds posting rows with
+    ``np.repeat`` instead of a per-doc ``np.full`` loop (the
+    ``md5_*_flat`` pattern applied to the SipHash tier)."""
+    grams = [_grams_of_tokens(t, n) for t in token_lists]
+    flat_grams = [g for gs in grams for g in gs]
+    hv = (hash64(flat_grams) if flat_grams
+          else np.empty(0, np.uint64))
+    ends = np.cumsum(np.fromiter((len(gs) for gs in grams),
+                                 np.int64, len(grams)))
+    starts = np.concatenate(([0], ends[:-1]))
+    parts = [np.unique(hv[s:e]) for s, e in zip(starts, ends)]
+    lens = np.fromiter((len(p) for p in parts), np.int64, len(parts))
+    flat = (np.concatenate(parts) if parts else np.empty(0, np.uint64))
+    return flat, lens
+
+
 def md5_shingles(tokens: list[str], n: int = 3) -> np.ndarray:
     """``word_shingles`` with the PORTABLE md5 gram hash (first 16 hex
     chars as uint64) — reproducible in DuckDB, so MinHash built on

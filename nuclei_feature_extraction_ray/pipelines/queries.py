@@ -175,7 +175,8 @@ def _sorted_member(sorted_vals: np.ndarray,
 
 
 def _combine_partials(partials_ds, keys: list[str],
-                      sums: list[str]) -> pd.DataFrame:
+                      sums: list[str],
+                      exact_int: bool = False) -> pd.DataFrame:
     """Final combine of per-batch partial aggregates. The partials are
     tiny by construction (distinct keys x blocks), so the combine runs
     on the driver — Ray's aggregate operator was measured to cost
@@ -183,7 +184,13 @@ def _combine_partials(partials_ds, keys: list[str],
     ``_COMBINE_MAX_ROWS`` partial rows this raises instead of pulling
     an unbounded frame onto the driver — use a hash exchange
     (stages/partition.partition_map) for high-cardinality keys, as
-    top_spenders does."""
+    top_spenders does.
+
+    ``exact_int=True`` folds the sum columns as arbitrary-precision
+    Python ints (object dtype) instead of int64 — required whenever a
+    caller claims an overflow-free driver fold (micro-unit product
+    partials like embedding_covariance's sij reach ~1e12 per row, so
+    an int64 fold would silently wrap around ~1e7 corpus rows)."""
     pdf = partials_ds.limit(_COMBINE_MAX_ROWS + 1).to_pandas()
     if len(pdf) > _COMBINE_MAX_ROWS:
         raise ValueError(
@@ -192,6 +199,10 @@ def _combine_partials(partials_ds, keys: list[str],
             "stages.partition.partition_map (one hash exchange + "
             "vectorized per-partition combine) instead"
             % (_COMBINE_MAX_ROWS, keys))
+    if exact_int:
+        pdf = pdf.copy()
+        for c in sums:
+            pdf[c] = pdf[c].map(int).astype(object)
     return pdf.groupby(keys, as_index=False)[sums].sum()
 
 
@@ -7914,11 +7925,11 @@ def doc_readability(sf_dir: str):
                            kind="mergesort").reset_index(drop=True)
 
 
-def _basket_edges(sf_dir: str):
-    """Support-filtered co-order pair Dataset (part_a < part_b,
-    n_orders >= _BASKET_MIN_SUPPORT) — the shared edge-building
-    pipeline behind basket_pairs and triangle_count. TWO bounded
-    hash exchanges; see basket_pairs for the scale argument."""
+def _basket_grain(sf_dir: str):
+    """Per-batch-distinct (l_orderkey, l_partkey) Dataset — the shared
+    scan grain behind the whole basket family (edges, marginals,
+    order counts). Batch-local dedup only; global distinctness is
+    finished inside whichever key-partition consumes it."""
     ds = rd.read_parquet(_path(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_partkey"])
 
@@ -7927,6 +7938,20 @@ def _basket_edges(sf_dir: str):
             "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
             "l_partkey": b["l_partkey"].to_numpy(np.int64),
         }).drop_duplicates(ignore_index=True)
+
+    return ds.map_batches(dedup, batch_format="pandas")
+
+
+def _basket_edges(sf_dir: str, grain=None):
+    """Support-filtered co-order pair Dataset (part_a < part_b,
+    n_orders >= _BASKET_MIN_SUPPORT) — the shared edge-building
+    pipeline behind basket_pairs, basket_lift and triangle_count.
+    TWO bounded hash exchanges; see basket_pairs for the scale
+    argument. Pass a (possibly materialized) ``_basket_grain``
+    Dataset via ``grain`` to share the lineitem scan with other
+    consumers instead of re-reading it."""
+    if grain is None:
+        grain = _basket_grain(sf_dir)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["l_orderkey", "l_partkey"])
@@ -7947,9 +7972,7 @@ def _basket_edges(sf_dir: str):
             "part_b": t["part_b"].to_numpy(np.int64),
             "n_orders": t["n"].to_numpy(np.int64)})
 
-    per_order = partitioned_apply(
-        ds.map_batches(dedup, batch_format="pandas"),
-        "l_orderkey", pairs, 16)
+    per_order = partitioned_apply(grain, "l_orderkey", pairs, 16)
     return partition_map(per_order, ["part_a", "part_b"], support, 16)
 
 
@@ -8469,7 +8492,7 @@ def feature_corr(sf_dir: str):
     p = _combine_partials(
         ds.map_batches(sums, batch_format="pandas"), ["k"],
         ["n", "sc", "sw", "sy", "scc", "sww", "syy",
-         "scw", "scy", "swy"])
+         "scw", "scy", "swy"], exact_int=True)
     v = {c: int(p[c].iloc[0]) for c in p.columns if c != "k"}
 
     def corr(sxy, sx, sy_, sxx, syy_):
@@ -8642,7 +8665,21 @@ def ab_test(sf_dir: str):
 
     p = _combine_partials(
         ds.map_batches(partial, batch_format="pandas"),
-        ["arm"], ["n", "s", "ss"]).set_index("arm")
+        ["arm"], ["n", "s", "ss"], exact_int=True).set_index("arm")
+
+    if not {"click", "purchase"} <= set(p.index):
+        # an absent arm: the oracle's cross join of the two arm
+        # subqueries yields zero rows — match it (same schema, 0 rows)
+        # instead of raising KeyError.
+        return pd.DataFrame({
+            "n_a": pd.Series([], dtype=np.int64),
+            "n_b": pd.Series([], dtype=np.int64),
+            "mean_a_cents": pd.Series([], dtype=np.float64),
+            "mean_b_cents": pd.Series([], dtype=np.float64),
+            "var_a": pd.Series([], dtype=np.float64),
+            "var_b": pd.Series([], dtype=np.float64),
+            "t_welch": pd.Series([], dtype=np.float64),
+            "df_welch": pd.Series([], dtype=np.float64)})
 
     def stats(arm: str):
         n = int(p.loc[arm, "n"])
@@ -8855,7 +8892,7 @@ def embedding_covariance(sf_dir: str):
 
     p = _combine_partials(
         ds.map_batches(partial, batch_format="pandas"),
-        ["i", "j"], ["n", "si", "sj", "sij"])
+        ["i", "j"], ["n", "si", "sj", "sij"], exact_int=True)
     n = p["n"].astype(object)            # python ints: exact products
     si = p["si"].astype(object)
     sj = p["sj"].astype(object)
@@ -9017,7 +9054,7 @@ def _pca_components(sf_dir: str, k: int = 2):
 
     p = _combine_partials(
         ds.map_batches(partial, batch_format="pandas"),
-        ["i", "j"], ["n", "si", "sj", "sij"])
+        ["i", "j"], ["n", "si", "sj", "sij"], exact_int=True)
     diag = p[p["i"] == p["j"]].sort_values("i")
     n = int(diag["n"].iloc[0])
     s = np.zeros(_EMB_DIM, np.float64)
@@ -9122,7 +9159,11 @@ def rrf_fusion(sf_dir: str):
             "n_words": b["text"].astype(str).str.count(r"\S+")
             .to_numpy(np.int64)})
 
-    f = ds.map_batches(feats, batch_format="pandas")
+    # materialized: the feats pipeline (documents read + \S+ regex
+    # count) is consumed THREE times (two rank histograms + the ranked
+    # chain) — without pinning, lazy re-execution runs it all thrice
+    # (the rfm_segments / triangle_count recipe).
+    f = ds.map_batches(feats, batch_format="pandas").materialize()
 
     def hist_of(col):
         def h(b: pd.DataFrame) -> pd.DataFrame:
@@ -10577,23 +10618,16 @@ def basket_lift(sf_dir: str):
     """Association-rule LIFT over the co-order pairs: lift =
     P(a,b) / (P(a)·P(b)) — how much more often two parts co-occur
     than independence predicts (support alone favors popular items;
-    lift finds genuine affinity). Edges reuse the basket pipeline
-    (materialized: consumed once per side); the per-part marginals
-    are a dimension-sized exchange result pulled under the combine
-    guard and broadcast as a sorted array; the distinct-order count
-    folds per partition. Lift = exact-int cross-product ratio, one
-    double division per pair."""
-    edges = _basket_edges(sf_dir).materialize()
-    ds = rd.read_parquet(_path(sf_dir, "lineitem"),
-                         columns=["l_orderkey", "l_partkey"])
-
-    def dedup(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
-            "l_partkey": b["l_partkey"].to_numpy(np.int64),
-        }).drop_duplicates(ignore_index=True)
-
-    pairs_d = ds.map_batches(dedup, batch_format="pandas")
+    lift finds genuine affinity). ONE lineitem scan: the
+    batch-distinct grain is materialized once and feeds all three
+    consumers (edge pipeline, per-part marginals, distinct-order
+    count) — previously the edges and the marginals each re-scanned
+    lineitem. Marginals are a dimension-sized exchange result pulled
+    under the combine guard and broadcast as a sorted array; the
+    distinct-order count folds per partition. Lift = exact-int
+    cross-product ratio, one double division per pair."""
+    grain = _basket_grain(sf_dir).materialize()
+    edges = _basket_edges(sf_dir, grain=grain).materialize()
 
     def marg_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["l_orderkey", "l_partkey"])
@@ -10604,7 +10638,7 @@ def basket_lift(sf_dir: str):
         return c.astype({"l_partkey": np.int64, "n": np.int64})
 
     marg = _combine_partials(
-        partition_map(pairs_d, ["l_orderkey", "l_partkey"],
+        partition_map(grain, ["l_orderkey", "l_partkey"],
                       marg_part, 16),
         ["l_partkey"], ["n"])
     mk = marg["l_partkey"].to_numpy(np.int64)
@@ -10622,8 +10656,8 @@ def basket_lift(sf_dir: str):
             "n": [np.int64(g["key"].nunique())]})
 
     n_orders = int(_combine_partials(
-        partition_map(ds.map_batches(order_keys,
-                                     batch_format="pandas"),
+        partition_map(grain.map_batches(order_keys,
+                                        batch_format="pandas"),
                       ["key"], count_distinct, 16),
         ["k"], ["n"])["n"].iloc[0])
 

@@ -31,7 +31,7 @@ import pyarrow as pa
 
 from ..functions.hashing import (hash64, hamming64, lsh_band_keys,
                                  minhash_signatures, simhash64,
-                                 word_shingles)
+                                 word_shingles, word_shingles_batch)
 from .partition import partition_map
 
 _EMPTY_PAIRS = {"a": np.int64, "b": np.int64}
@@ -123,6 +123,69 @@ def _segment_pairs(grouped_keys: np.ndarray):
     return starts, np.append(starts[1:], n)
 
 
+def _posting_explode(text_col: str, id_col: str, ngram: int):
+    """Shared map_batches fn: doc batch -> posting rows (shingle,
+    doc, doc_size). One ``hash64`` kernel per BATCH over every gram
+    (functions.hashing.word_shingles_batch — the flat offsets form),
+    posting rows built with ``np.repeat`` — no per-doc Python loop."""
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        flat, lens = word_shingles_batch(_tokenize(texts), ngram)
+        return pa.table({
+            "shingle": pa.array(flat.astype(np.int64)),
+            "doc": pa.array(np.repeat(np.asarray(ids, np.int64),
+                                      lens)),
+            "size": pa.array(np.repeat(lens, lens)),
+        })
+    return explode
+
+
+def _posting_pairs_part(max_df: int | None):
+    """Shared per-partition pair enumeration over grouped posting
+    lists: every co-occurring (a < b) doc pair of every shingle's
+    posting list, carrying both doc sizes (``max_df`` drops
+    stop-shingles — the skew guard)."""
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shingle", "doc"], kind="mergesort")
+        sh = g["shingle"].to_numpy()
+        d = g["doc"].to_numpy()
+        s = g["size"].to_numpy()
+        starts, ends = _segment_pairs(sh)
+        out_a, out_b, out_sa, out_sb = [], [], [], []
+        for st, en in zip(starts, ends):
+            m = en - st
+            if m < 2 or (max_df is not None and m > max_df):
+                continue
+            i, j = np.triu_indices(m, k=1)
+            out_a.append(d[st + i])
+            out_b.append(d[st + j])
+            out_sa.append(s[st + i])
+            out_sb.append(s[st + j])
+        if not out_a:
+            return _empty({"a": np.int64, "b": np.int64,
+                           "sa": np.int64, "sb": np.int64})
+        return pd.DataFrame({
+            "a": np.concatenate(out_a), "b": np.concatenate(out_b),
+            "sa": np.concatenate(out_sa), "sb": np.concatenate(out_sb)})
+    return pairs_part
+
+
+def _posting_pairs(ds, text_col: str, id_col: str, ngram: int,
+                   max_df: int | None, num_partitions: int,
+                   score_part):
+    """The inverted-index near-dup plan shared by jaccard_pairs and
+    containment_pairs: posting explode -> shingle exchange (pair
+    enumeration) -> pair exchange (``score_part`` gets the grouped
+    (a, b, sa, sb) co-occurrence rows and scores/filters them)."""
+    post = ds.select_columns([text_col, id_col]).map_batches(
+        _posting_explode(text_col, id_col, ngram),
+        batch_format="pyarrow")
+    cand = partition_map(post, ["shingle"],
+                         _posting_pairs_part(max_df), num_partitions)
+    return partition_map(cand, ["a", "b"], score_part, num_partitions)
+
+
 def jaccard_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
                   threshold: float = 0.2, max_df: int | None = None,
                   num_partitions: int = 16):
@@ -141,46 +204,6 @@ def jaccard_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
     The division is int/int in both engines -> bit-identical to the
     SQL oracle without any rounding.
     """
-    def explode(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pandas()
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sh, did, dsz = [], [], []
-        for i, toks in enumerate(_tokenize(texts)):
-            s = word_shingles(toks, ngram)
-            sh.append(s)
-            did.append(np.full(len(s), ids[i]))
-            dsz.append(np.full(len(s), len(s)))
-        cat = lambda xs, t: (np.concatenate(xs).astype(t) if xs
-                             else np.empty(0, t))
-        return pa.table({
-            "shingle": pa.array(cat(sh, np.int64)),
-            "doc": pa.array(cat(did, np.int64)),
-            "size": pa.array(cat(dsz, np.int64)),
-        })
-
-    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["shingle", "doc"], kind="mergesort")
-        sh = g["shingle"].to_numpy()
-        d = g["doc"].to_numpy()
-        s = g["size"].to_numpy()
-        starts, ends = _segment_pairs(sh)
-        out_a, out_b, out_sa, out_sb = [], [], [], []
-        for st, en in zip(starts, ends):
-            m = en - st
-            if m < 2 or (max_df is not None and m > max_df):
-                continue
-            i, j = np.triu_indices(m, k=1)
-            out_a.append(d[st + i])
-            out_b.append(d[st + j])
-            out_sa.append(s[st + i])
-            out_sb.append(s[st + j])
-        if not out_a:
-            return _empty({"a": np.int64, "b": np.int64,
-                           "sa": np.int64, "sb": np.int64})
-        return pd.DataFrame({
-            "a": np.concatenate(out_a), "b": np.concatenate(out_b),
-            "sa": np.concatenate(out_sa), "sb": np.concatenate(out_sb)})
-
     def score_part(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["a", "b"], sort=False, as_index=False).agg(
             inter=("sa", "size"), sa=("sa", "first"), sb=("sb", "first"))
@@ -190,10 +213,8 @@ def jaccard_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
         agg["jaccard"] = jac
         return agg.loc[jac >= threshold, ["a", "b", "jaccard"]]
 
-    post = ds.select_columns([text_col, id_col]).map_batches(
-        explode, batch_format="pyarrow")
-    cand = partition_map(post, ["shingle"], pairs_part, num_partitions)
-    return partition_map(cand, ["a", "b"], score_part, num_partitions)
+    return _posting_pairs(ds, text_col, id_col, ngram, max_df,
+                          num_partitions, score_part)
 
 
 def containment_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
@@ -204,49 +225,9 @@ def containment_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
     (containment of A in B = |A∩B| / |A|) — the subset-duplicate
     detector Jaccard misses (a short doc embedded verbatim in a long
     one has high containment but low Jaccard). Identical inverted-
-    index plan to jaccard_pairs (posting exchange -> pair exchange);
-    only the per-pair score differs, and both divisions stay int/int
-    -> bit-identical to the SQL oracle."""
-    def explode(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pandas()
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sh, did, dsz = [], [], []
-        for i, toks in enumerate(_tokenize(texts)):
-            s = word_shingles(toks, ngram)
-            sh.append(s)
-            did.append(np.full(len(s), ids[i]))
-            dsz.append(np.full(len(s), len(s)))
-        cat = lambda xs, t: (np.concatenate(xs).astype(t) if xs
-                             else np.empty(0, t))
-        return pa.table({
-            "shingle": pa.array(cat(sh, np.int64)),
-            "doc": pa.array(cat(did, np.int64)),
-            "size": pa.array(cat(dsz, np.int64)),
-        })
-
-    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["shingle", "doc"], kind="mergesort")
-        sh = g["shingle"].to_numpy()
-        d = g["doc"].to_numpy()
-        s = g["size"].to_numpy()
-        starts, ends = _segment_pairs(sh)
-        out_a, out_b, out_sa, out_sb = [], [], [], []
-        for st, en in zip(starts, ends):
-            m = en - st
-            if m < 2 or (max_df is not None and m > max_df):
-                continue
-            i, j = np.triu_indices(m, k=1)
-            out_a.append(d[st + i])
-            out_b.append(d[st + j])
-            out_sa.append(s[st + i])
-            out_sb.append(s[st + j])
-        if not out_a:
-            return _empty({"a": np.int64, "b": np.int64,
-                           "sa": np.int64, "sb": np.int64})
-        return pd.DataFrame({
-            "a": np.concatenate(out_a), "b": np.concatenate(out_b),
-            "sa": np.concatenate(out_sa), "sb": np.concatenate(out_sb)})
-
+    index plan to jaccard_pairs (the shared ``_posting_pairs``
+    machinery); only the per-pair score differs, and both divisions
+    stay int/int -> bit-identical to the SQL oracle."""
     def score_part(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["a", "b"], sort=False, as_index=False).agg(
             inter=("sa", "size"), sa=("sa", "first"),
@@ -259,10 +240,8 @@ def containment_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
         keep = (c_ab >= threshold) | (c_ba >= threshold)
         return agg.loc[keep, ["a", "b", "cont_a_in_b", "cont_b_in_a"]]
 
-    post = ds.select_columns([text_col, id_col]).map_batches(
-        explode, batch_format="pyarrow")
-    cand = partition_map(post, ["shingle"], pairs_part, num_partitions)
-    return partition_map(cand, ["a", "b"], score_part, num_partitions)
+    return _posting_pairs(ds, text_col, id_col, ngram, max_df,
+                          num_partitions, score_part)
 
 
 # ---------------------------------------------------------------------------
