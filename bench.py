@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "part_churn", "basket_lift", "user_type_entropy",
     "tables_census", "missing_hours", "value_quantiles",
     "entity_clusters", "order_reorder_rate", "lang_confusion",
+    # round-5 additions
+    "q8_market_share", "q9_product_profit", "q15_top_supplier",
+    "q17_small_quantity", "q19_disjunctive", "q22_sales_opportunity",
 ]
 
 
