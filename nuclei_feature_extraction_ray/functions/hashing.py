@@ -162,7 +162,10 @@ def md5_upper64_flat(strs) -> np.ndarray:
     import pyarrow as pa
     if len(strs) == 0:
         return np.empty(0, np.uint64)
-    tb = pa.table({"s": pa.array(list(strs), pa.string())})  # noqa: F841
+    if isinstance(strs, (pa.Array, pa.ChunkedArray)):
+        tb = pa.table({"s": strs})  # zero-copy into the kernel
+    else:
+        tb = pa.table({"s": pa.array(list(strs), pa.string())})  # noqa: F841
     out = duckdb.connect().execute(
         "SELECT md5_number_upper(s) AS h FROM tb").arrow()
     return out["h"].to_numpy(zero_copy_only=False).byteswap()
@@ -387,3 +390,153 @@ def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> np.ndarray:
         return np.unique(hv.min(keepdims=True))
     sw = np.lib.stride_tricks.sliding_window_view(hv, window)
     return np.unique(sw.min(axis=1))
+
+
+# ---------------------------------------------------------------------------
+# Flat (offsets-form) shingle builders — zero per-doc Python
+# ---------------------------------------------------------------------------
+
+def _texts_as_arrow(texts):
+    """Any text input (pa.Array / ChunkedArray / pandas / list) ->
+    one combined ``pa.string()`` array, nulls preserved."""
+    import pyarrow as pa
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(texts, pa.Array):
+        return texts.cast(pa.string())
+    if isinstance(texts, pd.Series):
+        return pa.Array.from_pandas(texts, type=pa.string())
+    return pa.array(list(texts), pa.string())
+
+
+def tokens_flat(texts) -> tuple:
+    """Python ``str.split()`` across a whole batch with ZERO per-doc
+    Python: Arrow ``utf8_trim_whitespace`` + ``utf8_split_whitespace``
+    (whitespace charset verified identical to ``str.isspace`` over the
+    full BMP+), null / whitespace-only docs -> 0 tokens. Returns
+    ``(vals, k)``: every doc's tokens concatenated (pa.StringArray)
+    and per-doc token counts (np.int64)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    arr = _texts_as_arrow(texts)
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(arr, ""))
+    toks = pc.utf8_split_whitespace(trimmed)
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    k = np.diff(off)
+    vals = toks.values
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    if empty.any():
+        # a trimmed-empty doc splits to [''] — drop the phantom token
+        keep = np.ones(len(vals), bool)
+        keep[off[:-1][empty & (k == 1)]] = False
+        vals = vals.filter(pa.array(keep))
+        k = np.where(empty, 0, k)
+    return vals, k.astype(np.int64)
+
+
+def gram_strings_flat(texts, n: int) -> tuple:
+    """Word n-gram STRINGS of every doc in a batch, flat form:
+    ``(grams: pa.StringArray, doc: np.int64 gram->doc index, n_docs)``.
+    Per-doc gram SET identical to ``_grams_of_tokens`` (short docs
+    0 < k < n contribute the full-doc join); within-doc order may
+    differ — every consumer applies a per-doc distinct. Zero per-doc
+    Python: full windows are n shifted Arrow slices fused by ONE
+    ``binary_join_element_wise`` kernel; short docs by one
+    ``binary_join`` kernel over a rebuilt ListArray."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    vals, k = tokens_flat(texts)
+    D, T = len(k), len(vals)
+    doc_of = np.repeat(np.arange(D, dtype=np.int64), k)
+    parts, docs = [], []
+    if n == 1:
+        return vals, doc_of, D
+    if T >= n and (k >= n).any():
+        W = T - n + 1
+        cols = [vals.slice(i, W) for i in range(n)]
+        win = pc.binary_join_element_wise(*cols, " ")
+        off = np.concatenate(([0], np.cumsum(k)))
+        pos = np.arange(T, dtype=np.int64) - off[doc_of]
+        valid = (pos + n <= k[doc_of])[:W]
+        parts.append(win.filter(pa.array(valid)))
+        docs.append(doc_of[:W][valid])
+    short = (k > 0) & (k < n)
+    if short.any():
+        sd = np.nonzero(short)[0]
+        kd = k[sd]
+        off = np.concatenate(([0], np.cumsum(k)))[:-1]
+        ends = np.cumsum(kd)
+        starts = np.concatenate(([0], ends[:-1]))
+        tot = int(ends[-1])
+        idx = (np.repeat(off[sd], kd)
+               + np.arange(tot, dtype=np.int64) - np.repeat(starts, kd))
+        la = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], ends)), pa.int32()),
+            vals.take(pa.array(idx)))
+        parts.append(pc.binary_join(la, " "))
+        docs.append(sd)
+    if not parts:
+        return pa.array([], pa.string()), np.empty(0, np.int64), D
+    grams = pa.concat_arrays([p.combine_chunks() if isinstance(
+        p, pa.ChunkedArray) else p for p in parts])
+    return grams, np.concatenate(docs), D
+
+
+def _distinct_per_doc(hv: np.ndarray, doc: np.ndarray,
+                      n_docs: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted-distinct over flat (hash, doc) rows -> the
+    ``(flat, lens)`` offsets form with ONE lexsort — replaces the
+    per-doc ``np.unique`` loop (same values: np.unique also sorts)."""
+    if len(hv) == 0:
+        return np.empty(0, np.uint64), np.zeros(n_docs, np.int64)
+    order = np.lexsort((hv, doc))
+    h, d = hv[order], doc[order]
+    keep = np.empty(len(h), bool)
+    keep[0] = True
+    keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    return h[keep], np.bincount(
+        d[keep], minlength=n_docs).astype(np.int64)
+
+
+def word_shingles_flat(texts, n: int = 3) -> tuple[np.ndarray,
+                                                   np.ndarray]:
+    """``word_shingles_batch`` straight from the raw TEXT column —
+    no per-doc tokenize / gram-window Python loops anywhere: Arrow
+    split -> flat gram strings -> one SipHash kernel -> one-lexsort
+    per-doc distinct. Values identical to the per-doc path."""
+    grams, doc, D = gram_strings_flat(texts, n)
+    hv = (hash64(grams.to_numpy(zero_copy_only=False))
+          if len(grams) else np.empty(0, np.uint64))
+    return _distinct_per_doc(hv, doc, D)
+
+
+def md5_shingles_flat(texts, n: int = 3) -> tuple[np.ndarray,
+                                                  np.ndarray]:
+    """``md5_shingles_batch`` straight from the raw TEXT column in the
+    flat offsets form — the gram strings never become Python objects:
+    Arrow split -> gram StringArray -> DuckDB md5 kernel zero-copy ->
+    one-lexsort per-doc distinct. Values identical to the per-doc
+    path (same md5, same distinct sets)."""
+    grams, doc, D = gram_strings_flat(texts, n)
+    hv = md5_upper64_flat(grams)
+    return _distinct_per_doc(hv, doc, D)
+
+
+def minhash_signatures_flat(flat: np.ndarray, lens: np.ndarray,
+                            k: int = 64, seed: int = 7) -> np.ndarray:
+    """``minhash_signatures`` from the ``(flat, lens)`` offsets form
+    (no list-of-arrays materialization). Empty docs get all-max
+    sentinel rows, exactly like the list form."""
+    a, b = _hash_params(k, seed)
+    lens = np.asarray(lens, np.int64)
+    out = np.full((len(lens), k), np.iinfo(np.uint64).max,
+                  dtype=np.uint64)
+    if len(flat) == 0:
+        return out
+    nonempty = lens > 0
+    offsets = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            hv = (a[j] * flat + b[j]) % np.uint64(_MERSENNE)
+            out[nonempty, j] = np.minimum.reduceat(hv, offsets)
+    return out

@@ -430,13 +430,13 @@ def minhash_pairs_md5(sf_dir: str):
     lane-agreement verify) but every hash is reproducible in DuckDB,
     so the whole probabilistic op is driver-oracled EXACTLY (the
     doc_fingerprint_md5 pattern)."""
-    from ..functions.hashing import md5_shingles_batch
+    from ..functions.hashing import md5_shingles_flat
     ds = rd.read_parquet(_path(sf_dir, "documents"),
                          columns=["doc_id", "text"])
     return dedup_mod.minhash_lsh_pairs(
         ds, "text", "doc_id", ngram=JACCARD_NGRAM, threshold=0.2,
-        shingle_batch_fn=lambda tls: md5_shingles_batch(
-            tls, JACCARD_NGRAM))
+        shingle_flat_fn=lambda col: md5_shingles_flat(
+            col, JACCARD_NGRAM))
 
 
 @register("simhash_pairs")  # not SQL-expressible -> rows-only check
@@ -3770,7 +3770,68 @@ def boilerplate_strip(sf_dir: str):
     return dedup_mod.remove_host_hot_lines(pages, "text", "host", hot)
 
 
-@register("kmeans_clusters")  # iterative -> rows-only + property tests
+def _kmeans_sql(k: int = 8, iters: int = 4,
+                qbits: int = 20) -> str:
+    """DuckDB oracle for the full quantized Lloyd loop: the fixed
+    iteration count unrolls into chained CTEs, each one an exact
+    replica of kmeans_lloyd's arithmetic — ``round_even(x * 2^20)``
+    BIGINT quantization (numpy half-to-even), exact-integer centroid
+    sums, centroid = (s/n)/2^20 in one double expression, d2 =
+    (xx - 2*xc) + cc in the same composition order, argmin ties to
+    the lowest cluster, empty clusters carrying the previous
+    centroid. Seeds = the k smallest vec_ids in id order."""
+    Q = float(1 << qbits)
+
+    def assign(cent: str) -> str:
+        return f"""(
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, cc.cluster,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             xv.xx - 2 * sum(e.x * cc.c) + max(cc2.cc), cc.cluster
+           ) AS rn
+    FROM e
+    JOIN {cent} cc ON cc.dim = e.dim
+    JOIN (SELECT cluster, sum(c * c) AS cc FROM {cent}
+          GROUP BY cluster) cc2 ON cc2.cluster = cc.cluster
+    JOIN xxv xv ON xv.vec_id = e.vec_id
+    GROUP BY e.vec_id, cc.cluster, xv.xx
+  ) WHERE rn = 1)"""
+
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+q AS (
+  SELECT vec_id, dim,
+         CAST(round_even(x * {Q!r}, 0) AS BIGINT) AS q
+  FROM e),
+xxv AS (SELECT vec_id, sum(x * x) AS xx FROM e GROUP BY vec_id),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM embeddings ORDER BY vec_id LIMIT {k}),
+c0 AS (
+  SELECT s.cluster, e.dim, e.x AS c
+  FROM seeds s JOIN e ON e.vec_id = s.vec_id)"""]
+    for t in range(iters):
+        parts.append(f""",
+a{t + 1} AS {assign('c%d' % t)},
+c{t + 1} AS (
+  SELECT p.cluster, p.dim,
+         COALESCE((CAST(u.s AS DOUBLE) / CAST(u.n AS DOUBLE))
+                  / {Q!r}, p.c) AS c
+  FROM c{t} p LEFT JOIN (
+    SELECT a.cluster, q.dim, sum(q.q) AS s, count(*) AS n
+    FROM a{t + 1} a JOIN q ON q.vec_id = a.vec_id
+    GROUP BY a.cluster, q.dim) u
+  ON u.cluster = p.cluster AND u.dim = p.dim)""")
+    parts.append(f"""
+SELECT vec_id, cluster FROM {assign('c%d' % iters)} ORDER BY vec_id""")
+    return "".join(parts)
+
+
+@register("kmeans_clusters", sql=_kmeans_sql())
 def kmeans_clusters(sf_dir: str):
     """Full-data Lloyd k-means assignments over the embeddings table
     (k=8, 4 iterations) — the iterative-ML workload class (EM-style
@@ -3778,7 +3839,9 @@ def kmeans_clusters(sf_dir: str):
     partitioning: integer-quantized partial sums make the centroid
     reduction fold-order-free (stages/ann.kmeans_lloyd); init is the
     k smallest ids, no RNG. Inertia monotonicity and bit-determinism
-    are pytest properties (test_dedup_ann)."""
+    are pytest properties (test_dedup_ann). DRIVER-ORACLED EXACTLY:
+    _kmeans_sql unrolls the whole quantized Lloyd loop into DuckDB
+    CTEs (bit-equal assignments at sf0.001 and sf0.01)."""
     ds = rd.read_parquet(_path(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     out, _hist = ann_mod.kmeans_lloyd(ds, "embedding", "vec_id",
@@ -5403,15 +5466,15 @@ def near_dedup_keep_md5(sf_dir: str):
     ``near_dedup_keep`` (fast in-engine hash), every tier of the
     near-dedup decision pipeline is either SQL-oracled or
     pytest-pinned to an oracled twin."""
-    from ..functions.hashing import md5_shingles_batch
+    from ..functions.hashing import md5_shingles_flat
     from ..stages.graph import attach_clusters, connected_components
 
     ds = rd.read_parquet(_path(sf_dir, "documents"),
                          columns=["doc_id", "text"])
     pairs = dedup_mod.minhash_lsh_pairs(
         ds, "text", "doc_id", ngram=JACCARD_NGRAM, threshold=0.2,
-        shingle_batch_fn=lambda tls: md5_shingles_batch(
-            tls, JACCARD_NGRAM))
+        shingle_flat_fn=lambda col: md5_shingles_flat(
+            col, JACCARD_NGRAM))
     cc = connected_components(pairs, "a", "b", num_partitions=8)
     ids = rd.read_parquet(_path(sf_dir, "documents"),
                           columns=["doc_id"])
@@ -9083,15 +9146,23 @@ def _pca_components(sf_dir: str, k: int = 2):
     return comps, s / np.float64(n)
 
 
-@register("embedding_pca")
+@register("embedding_pca", sql="""
+    SELECT vec_id, pc1, pc2
+    FROM read_parquet('/root/repo/goldens/embedding_pca_sf0_01.parquet')
+    ORDER BY vec_id""")
 def embedding_pca(sf_dir: str):
     """PCA projection of the embedding table onto its top-2 principal
     axes — the dimensionality-reduction / visualization primitive.
     The covariance reduction is the embedding_covariance pipeline
     (dimension-sized partials, exact integer sums); eigh runs on the
     driver's 64x64 matrix; projection is one broadcast matmul pass.
-    Not SQL-expressible (eigendecomposition) -> rows-only driver
-    check + determinism/variance-ordering pytest coverage."""
+    Eigendecomposition is not SQL-expressible, so the driver oracle is
+    a STORED GOLDEN pinned to the driver's correctness scale (sf0.01):
+    tools/gen_pca_golden.py recomputes the projection independently of
+    this engine (DuckDB quantization + exact-int covariance SQL,
+    numpy eigh, plain matmul) and the oracle reads the resulting
+    parquet. Determinism / variance-ordering / sign-convention pytest
+    coverage remains (test_embedding_ops)."""
     comps, mean = _pca_components(sf_dir, k=2)
     ds = rd.read_parquet(_path(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])

@@ -30,8 +30,9 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import (hash64, hamming64, lsh_band_keys,
-                                 minhash_signatures, simhash64,
-                                 word_shingles, word_shingles_batch)
+                                 minhash_signatures,
+                                 minhash_signatures_flat, simhash64,
+                                 word_shingles, word_shingles_flat)
 from .partition import partition_map
 
 _EMPTY_PAIRS = {"a": np.int64, "b": np.int64}
@@ -125,13 +126,13 @@ def _segment_pairs(grouped_keys: np.ndarray):
 
 def _posting_explode(text_col: str, id_col: str, ngram: int):
     """Shared map_batches fn: doc batch -> posting rows (shingle,
-    doc, doc_size). One ``hash64`` kernel per BATCH over every gram
-    (functions.hashing.word_shingles_batch — the flat offsets form),
-    posting rows built with ``np.repeat`` — no per-doc Python loop."""
+    doc, doc_size). Fully vectorized end to end
+    (functions.hashing.word_shingles_flat): Arrow split -> flat gram
+    strings -> one SipHash kernel -> one-lexsort per-doc distinct;
+    posting rows built with ``np.repeat`` — zero per-doc Python."""
     def explode(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pandas()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        flat, lens = word_shingles_batch(_tokenize(texts), ngram)
+        flat, lens = word_shingles_flat(batch[text_col], ngram)
         return pa.table({
             "shingle": pa.array(flat.astype(np.int64)),
             "doc": pa.array(np.repeat(np.asarray(ids, np.int64),
@@ -292,7 +293,8 @@ def _attach_sig(pairs_ds, sigs_ds, key_col: str, new_col: str,
 def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
                       num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.2, num_partitions: int = 16,
-                      shingle_fn=None, shingle_batch_fn=None):
+                      shingle_fn=None, shingle_batch_fn=None,
+                      shingle_flat_fn=None):
     """Candidate pairs from LSH banding, verified by SIGNATURE
     AGREEMENT: jaccard_est = fraction of the k MinHash lanes equal —
     an unbiased estimator of Jaccard (stderr ~ sqrt(s(1-s)/k)).
@@ -308,21 +310,30 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
     shingles_of = shingle_fn or (lambda toks: word_shingles(toks, ngram))
 
     def sig(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pandas()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        # batch hook: one vectorized hash kernel across ALL docs'
-        # grams (the md5 twins) instead of a per-doc hash loop
-        shingles = (shingle_batch_fn(_tokenize(texts))
-                    if shingle_batch_fn else
-                    [shingles_of(t) for t in _tokenize(texts)])
         # Zero-shingle (empty / whitespace-only) docs are dropped HERE:
         # their all-max sentinel signatures would otherwise share LSH
         # buckets and agree on every lane, pairing all empty docs at
         # jaccard_est = 1.0 — while exact Jaccard of an empty union is
         # 0 (jaccard_pairs and its SQL oracle both exclude them).
-        keep = np.asarray([len(s) > 0 for s in shingles], bool)
-        shingles = [s for s in shingles if len(s)]
-        sigs = minhash_signatures(shingles, k=num_hashes)
+        if shingle_fn is None and shingle_batch_fn is None:
+            # default + md5-twin tier: flat offsets path, zero per-doc
+            # Python (Arrow split -> batch hash kernel -> lexsort
+            # distinct -> reduceat minima)
+            flat_fn = shingle_flat_fn or (
+                lambda col: word_shingles_flat(col, ngram))
+            flat, lens = flat_fn(batch[text_col])
+            keep = lens > 0
+            sigs = minhash_signatures_flat(flat, lens,
+                                           k=num_hashes)[keep]
+        else:
+            texts = batch[text_col].to_pandas()
+            shingles = (shingle_batch_fn(_tokenize(texts))
+                        if shingle_batch_fn else
+                        [shingles_of(t) for t in _tokenize(texts)])
+            keep = np.asarray([len(s) > 0 for s in shingles], bool)
+            shingles = [s for s in shingles if len(s)]
+            sigs = minhash_signatures(shingles, k=num_hashes)
         return pa.table({
             "doc": pa.array(ids[keep].astype(np.int64)),
             "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
