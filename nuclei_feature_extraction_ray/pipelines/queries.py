@@ -151,8 +151,16 @@ def _read_dim(path: str, columns: list[str],
     raises on the parquet row count before reading a byte, so an
     accidentally fact-sized input can never materialize on the
     driver (the _combine_partials limit+raise contract, applied to
-    the broadcast side of lookup joins)."""
-    nr = pq.ParquetFile(path).metadata.num_rows
+    the broadcast side of lookup joins). Accepts a sharded parquet
+    DIRECTORY too (real deployments shard dimensions as well — the
+    r5 sf1 stress input does): the guard sums footer row counts
+    across shards, still before reading a data byte."""
+    if os.path.isdir(path):
+        files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                       if f.endswith(".parquet"))
+        nr = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    else:
+        nr = pq.ParquetFile(path).metadata.num_rows
     if nr > max_rows:
         raise ValueError(
             "_read_dim: %s has %d rows > %d — too large to broadcast; "
@@ -10713,10 +10721,25 @@ def basket_lift(sf_dir: str):
         # the global order count; count orders separately below.
         return c.astype({"l_partkey": np.int64, "n": np.int64})
 
-    marg = _combine_partials(
+    def marg_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_partkey", as_index=False).agg(
+            n=("n", "sum"))
+        return out.astype({"l_partkey": np.int64, "n": np.int64})
+
+    # fold the per-partition partials to TRUE partkey grain with one
+    # partkey exchange BEFORE the driver pull: the r5 sf1 stress run
+    # tripped the 1M-row combine guard on keys x partitions partial
+    # rows; after the exchange the pull is the part DIMENSION itself
+    # (the documented broadcast-side bound, guarded below).
+    marg = partition_map(
         partition_map(grain, ["l_orderkey", "l_partkey"],
                       marg_part, 16),
-        ["l_partkey"], ["n"])
+        ["l_partkey"], marg_sum, 16).to_pandas()
+    if len(marg) > 20_000_000:
+        raise ValueError(
+            "basket_lift: part dimension too large to broadcast "
+            "(%d rows); shard add_lift by part-key join instead"
+            % len(marg))
     mk = marg["l_partkey"].to_numpy(np.int64)
     mo = np.argsort(mk)
     mk = mk[mo]

@@ -572,3 +572,46 @@ def test_bpe_merges_matches_reference(sf_small):
                          "right": np.asarray(rights, object),
                          "n": np.asarray(ns, np.int64)})
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+# -- flat (offsets-form) shingle builders -----------------------------------
+
+_FLAT_TEXTS = ["the quick brown fox jumps", "  lead and trail  ", "",
+               "   ", None, "one", "two words", "a b c d e f g",
+               "tab\tsep\nnl lines here", "nbsp\xa0joined token",
+               "rep rep rep rep rep", "x " * 300 + "y",
+               " em space seps", "\x1c\x1dcontrol seps"]
+
+
+def test_tokens_flat_matches_str_split():
+    from nuclei_feature_extraction_ray.functions.hashing import tokens_flat
+    vals, k = tokens_flat(pd.Series(_FLAT_TEXTS))
+    py = [t.split() if isinstance(t, str) else [] for t in _FLAT_TEXTS]
+    assert list(k) == [len(t) for t in py]
+    assert vals.to_pylist() == [w for t in py for w in t]
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 5])
+def test_word_shingles_flat_matches_per_doc(n):
+    from nuclei_feature_extraction_ray.functions.hashing import (
+        word_shingles_batch, word_shingles_flat)
+    toks = [t.split() if isinstance(t, str) else [] for t in _FLAT_TEXTS]
+    f1, l1 = word_shingles_batch(toks, n)
+    f2, l2 = word_shingles_flat(_FLAT_TEXTS, n)
+    assert np.array_equal(l1, l2)
+    assert np.array_equal(f1, f2)
+
+
+def test_md5_shingles_flat_and_sig_flat_match_per_doc():
+    from nuclei_feature_extraction_ray.functions.hashing import (
+        md5_shingles_batch, md5_shingles_flat, minhash_signatures,
+        minhash_signatures_flat)
+    toks = [t.split() if isinstance(t, str) else [] for t in _FLAT_TEXTS]
+    per_doc = md5_shingles_batch(toks, 2)
+    flat, lens = md5_shingles_flat(_FLAT_TEXTS, 2)
+    assert np.array_equal(
+        np.concatenate(per_doc) if per_doc else np.empty(0), flat)
+    assert [len(s) for s in per_doc] == list(lens)
+    s1 = minhash_signatures(per_doc, k=32)
+    s2 = minhash_signatures_flat(flat, lens, k=32)
+    assert np.array_equal(s1, s2)
