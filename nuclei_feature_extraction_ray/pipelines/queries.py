@@ -10859,7 +10859,12 @@ def tables_census(sf_dir: str):
     agree."""
     rows = []
     for t in _ALL_TABLES:
-        n = pq.ParquetFile(_path(sf_dir, t)).metadata.num_rows
+        p = _path(sf_dir, t)
+        if os.path.isdir(p):   # sharded table: sum the shard footers
+            n = sum(pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+                    for f in os.listdir(p) if f.endswith(".parquet"))
+        else:
+            n = pq.ParquetFile(p).metadata.num_rows
         rows.append({"tbl": t, "n_rows": np.int64(n)})
     return pd.DataFrame(rows)
 

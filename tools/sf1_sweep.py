@@ -29,8 +29,15 @@ ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
          logging_level="ERROR")
 import __ray_entry__ as entry  # noqa: E402
 
+#: the five quadratic exact-Jaccard oracle twins are excluded exactly
+#: as in bench.py: their all-pair verification tier is quadratic in
+#: near-dup cluster size BY DESIGN (they exist to oracle the LSH scale
+#: path, which IS swept via minhash_pairs / near_dedup_keep*)
+EXCLUDE = {"jaccard_pairs", "dedup_clusters", "containment_pairs",
+           "dup_cluster_hist", "dedup_survivor"}
+
 qs = entry.queries()
-names = sys.argv[1:] or list(qs)
+names = sys.argv[1:] or [n for n in qs if n not in EXCLUDE]
 out: dict = {}
 path = os.path.join(REPO, "SF1_SWEEP.json")
 if os.path.exists(path):          # resume a interrupted sweep
