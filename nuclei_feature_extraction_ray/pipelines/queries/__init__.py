@@ -1,0 +1,72 @@
+"""Query registry: every operator/pipeline from SURVEY.md §2 (plus the
+training-data ops) as a ``(sf_dir) -> Dataset|DataFrame`` callable, with
+a DuckDB oracle SQL string wherever the semantics are SQL-expressible.
+
+Float policy for oracle comparison (every oracle row is bit-exact
+under STRICT float equality at sf0.001/sf0.01):
+1. sums that must match exactly are computed on integers (cents, cell
+   counts) with ONE final division — order-exact in both engines;
+2. inexact-weight folds run in the SAME explicit order on both sides
+   (texture.py 64-term folds), and rounding uses one shared
+   half-away-from-zero formula (texture.r6/_sql_r6) — numpy's
+   half-even differs exactly on dyadic boundaries;
+3. seconds columns mirror DuckDB's ``epoch(interval)`` float path
+   (days*86400.0 + micros/1e6; stages/window.us_seconds), which
+   differs from pandas total_seconds in the last ulp;
+4. generated SQL CASTs all literals/aggregates to DOUBLE — DuckDB
+   parses bare decimals as DECIMAL and its exact decimal arithmetic
+   rounds differently from the engine's doubles.
+
+Structure (r5, VERDICT item 7): the former single-file queries.py is
+split into themed ``qNN_*`` modules, imported here in the ORIGINAL
+source order so registration order — and therefore the driver's
+export window — is unchanged. ``_shared`` holds the registry
+(``register`` / QUERIES / ORACLE), constants, and the guarded
+helpers (``_path`` / ``_read_dim`` / ``_combine_partials``). The
+package ``__getattr__`` below resolves any name from any submodule,
+so every pre-split import path keeps working (tools/split_queries.py
+is the generator; its golden-validation protocol is documented
+there)."""
+from __future__ import annotations
+
+from . import _shared
+from . import q00_documents_per_row
+from . import q01_events_windowed_temporal
+from . import q02_tpc_h_ish
+from . import q03_embeddings_similarity_search
+from . import q04_multimodal_plumbing_codec
+from . import q05_pages_flagship
+from . import q06_pages_flagship_2
+from . import q07_round_4_additions
+from . import q08_tpc_h_shaped
+from . import q09_events_activity_streaks
+from . import q10_feature_engineering_readability
+from . import q11_distribution_census_supplier
+from . import q12_graph_analytics_experimentation
+from . import q13_embedding_table_operators
+from . import q14_retrieval_rank_fusion
+from . import q15_rfm_segmentation_month
+from . import q16_asymmetric_containment_dedup
+from . import q17_day_of_week
+from . import q18_tpc_h_q7
+from . import q19_ltv_cohort_matrix
+from . import q20_seasonality_strength_one
+from . import q21_conversion_lag_grouped
+from . import q22_quality_based_dedup
+from . import q23_catalog_census_ingestion
+from . import q24_float_quantiles_via
+from . import q25_classifier_evaluation_confusion
+from . import q26_round_5_tpc
+
+from ._shared import *  # noqa: F401,F403
+
+_SUBMODULES = [_shared, q00_documents_per_row, q01_events_windowed_temporal, q02_tpc_h_ish, q03_embeddings_similarity_search, q04_multimodal_plumbing_codec, q05_pages_flagship, q06_pages_flagship_2, q07_round_4_additions, q08_tpc_h_shaped, q09_events_activity_streaks, q10_feature_engineering_readability, q11_distribution_census_supplier, q12_graph_analytics_experimentation, q13_embedding_table_operators, q14_retrieval_rank_fusion, q15_rfm_segmentation_month, q16_asymmetric_containment_dedup, q17_day_of_week, q18_tpc_h_q7, q19_ltv_cohort_matrix, q20_seasonality_strength_one, q21_conversion_lag_grouped, q22_quality_based_dedup, q23_catalog_census_ingestion, q24_float_quantiles_via, q25_classifier_evaluation_confusion, q26_round_5_tpc]
+
+
+def __getattr__(name):
+    """Package-level name lookup across the split modules, so every
+    pre-split import path (public or underscore) keeps working."""
+    for _m in _SUBMODULES:
+        if hasattr(_m, name):
+            return getattr(_m, name)
+    raise AttributeError(name)
