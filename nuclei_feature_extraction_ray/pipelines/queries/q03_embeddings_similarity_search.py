@@ -407,6 +407,93 @@ def custkey_distinct_approx(sf_dir: str):
             [approx_distinct(ds, "o_custkey")], np.int64)})
 
 
+_HLL_P, _HLL_M = 12, 4096
+
+
+def _hll_md5_sql(m: int = _HLL_M) -> str:
+    """DuckDB twin of the md5-portable HyperLogLog below. The whole
+    sketch is exact-integer until ONE final float expression: rho
+    comes from the binary-string length of the low 52 hash bits (no
+    float log2 anywhere), the indicator sum folds as 2^(53-rho)
+    HUGEINTs (missing buckets contribute 2^53), and the estimator
+    (with the standard small-range linear-counting branch) composes
+    the same integers in the same order as the engine."""
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    raw = (f"{alpha} * {m}.0 * {m}.0 * 9007199254740992.0"
+           " / CAST(s_int AS DOUBLE)")
+    return f"""
+    WITH h AS (SELECT md5_number_upper(CAST(o_custkey AS VARCHAR))
+                      AS h FROM orders),
+    b AS (SELECT (h >> 52) AS bucket,
+                 (h & ((1::UBIGINT << 52) - 1)) AS w FROM h),
+    r AS (SELECT bucket,
+                 MAX(CASE WHEN w = 0 THEN CAST(53 AS BIGINT)
+                     ELSE CAST(53 - length(bin(w)) AS BIGINT) END)
+                 AS rho
+          FROM b GROUP BY bucket),
+    s AS (SELECT CAST(sum(1::HUGEINT << (53 - rho)) AS HUGEINT)
+                 + (CAST({m} AS HUGEINT)
+                    - CAST(count(*) AS HUGEINT))
+                   * (1::HUGEINT << 53) AS s_int,
+                 CAST({m} - count(*) AS BIGINT) AS v_zero,
+                 CAST(sum(rho) AS BIGINT) AS rho_sum,
+                 CAST(count(*) AS BIGINT) AS n_buckets
+          FROM r)
+    SELECT CASE WHEN v_zero > 0 AND {raw} <= 2.5 * {m}.0
+           THEN {m}.0 * ln({m}.0 / CAST(v_zero AS DOUBLE))
+           ELSE {raw} END AS est,
+           v_zero, rho_sum, n_buckets FROM s"""
+
+
+@register("custkey_distinct_hll_md5", sql=_hll_md5_sql())
+def custkey_distinct_hll_md5(sf_dir: str):
+    """HyperLogLog distinct with the PORTABLE md5 hash — the whole
+    probabilistic sketch driver-oracled EXACTLY (the minhash_pairs_md5
+    pattern applied to cardinality sketching): register values,
+    zero-bucket count, and the final estimate are all bit-equal to the
+    DuckDB twin because every step is integer until one shared float
+    expression. Scale shape identical to custkey_distinct_approx:
+    per-batch register partials (<= 4096 rows), shuffle-free, driver
+    max-merge; rho from np.frexp exponents (exact for the 52-bit
+    window — no float log2 boundary risk)."""
+    m, p = _HLL_M, _HLL_P
+    from ...functions.hashing import md5_id64_flat
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["o_custkey"].to_numpy(zero_copy_only=False)
+        hv = md5_id64_flat(ids, "")[0].byteswap()   # DuckDB
+        # md5_number_upper is little-endian of the first 8 digest
+        # bytes; md5_id64_flat returns hex order -> byteswap back
+        bucket = (hv >> np.uint64(64 - p)).astype(np.int64)
+        w = hv & np.uint64((1 << (64 - p)) - 1)
+        _, e = np.frexp(w.astype(np.float64))
+        rho = np.where(w == 0, 64 - p + 1,
+                       64 - p + 1 - e).astype(np.int64)
+        df = pd.DataFrame({"bucket": bucket, "rho": rho})             .groupby("bucket", as_index=False)["rho"].max()
+        return pa.table({
+            "bucket": pa.array(df["bucket"].to_numpy(np.int64)),
+            "rho": pa.array(df["rho"].to_numpy(np.int64))})
+
+    parts = rd.read_parquet(_path(sf_dir, "orders"),
+                            columns=["o_custkey"])         .map_batches(partial, batch_format="pyarrow")         .limit(1_000_001).to_pandas()
+    if len(parts) > 1_000_000:
+        raise ValueError("custkey_distinct_hll_md5: register "
+                         "partials exceeded the driver bound")
+    reg = parts.groupby("bucket")["rho"].max()
+    s_int = (sum(1 << (53 - int(r)) for r in reg)
+             + (m - len(reg)) * (1 << 53))
+    v = m - len(reg)
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    raw = alpha * float(m) * float(m) * 9007199254740992.0         / float(s_int)
+    est = (float(m) * np.log(float(m) / float(v))
+           if (v > 0 and raw <= 2.5 * m) else raw)
+    return pd.DataFrame({
+        "est": np.asarray([est], np.float64),
+        "v_zero": np.asarray([v], np.int64),
+        "rho_sum": np.asarray([int(reg.sum())], np.int64),
+        "n_buckets": np.asarray([len(reg)], np.int64)})
+
+
 @register("ann_cosine", sql="""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
          s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
