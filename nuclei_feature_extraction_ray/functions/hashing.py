@@ -204,6 +204,33 @@ def md5_hex_flat(strs) -> np.ndarray:
     return np.asarray(out["h"].to_pylist(), dtype=object)
 
 
+def md5_suffixed64_flat(strs, n_rows: int,
+                        sep: str = "#") -> np.ndarray:
+    """``md5_number_upper(s || sep || r)`` for every string x every
+    row index r in ``range(n_rows)`` — one vectorized DuckDB kernel,
+    shape ``(n_rows, len(strs))``. Values are in DuckDB's NUMERIC
+    order (little-endian of the first 8 digest bytes, NOT hex order
+    — unlike ``md5_upper64_flat``), so ``% m`` on the result equals
+    SQL ``md5_number_upper(...) % m`` bit-for-bit: the shared hash
+    family of the md5 oracle-twin sketches (CMS rows, Bloom probes)."""
+    import duckdb
+    import pyarrow as pa
+    if len(strs) == 0:
+        return np.empty((n_rows, 0), np.uint64)
+    if isinstance(strs, (pa.Array, pa.ChunkedArray)):
+        col = strs
+    else:
+        col = pa.array(list(strs), pa.string())
+    tb = pa.table({"i": pa.array(np.arange(len(col), dtype=np.int64)),
+                   "s": col})  # noqa: F841
+    out = duckdb.connect().execute(
+        "SELECT md5_number_upper(s || ? || CAST(r AS VARCHAR)) AS h"
+        " FROM tb CROSS JOIN range(?) t(r) ORDER BY r, i",
+        [sep, n_rows]).arrow()
+    return out["h"].to_numpy(zero_copy_only=False) \
+        .reshape(n_rows, len(col))
+
+
 def _grams_of_tokens(tokens: list[str], n: int) -> list[str]:
     if len(tokens) < n:
         return [" ".join(tokens)] if tokens else []

@@ -652,6 +652,121 @@ def vocab_heavy_approx(sf_dir: str):
                          "n_est": est[order].astype(np.int64)})
 
 
+_CMS_D, _CMS_W, _CMS_TOPK = 4, 4096, 25
+
+
+def _cms_md5_sql(d: int = _CMS_D, w: int = _CMS_W,
+                 k: int = _CMS_TOPK) -> str:
+    """DuckDB twin of ``vocab_heavy_md5``: exact counts pick the
+    top-k; the count-min table is rebuilt from the SAME
+    ``md5_number_upper(token || '#' || row) % w`` family the engine
+    uses, so every estimated count is integer-identical."""
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(
+               trim(text, E' \\t\\n\\r\\f'), '[ \\t\\n\\r\\f]+')) AS token
+      FROM documents
+      WHERE trim(text, E' \\t\\n\\r\\f') <> ''
+    ), counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_true
+      FROM toks GROUP BY token
+    ), topk AS (
+      SELECT token, n_true FROM counts
+      ORDER BY n_true DESC, token LIMIT {k}
+    ), rws AS (
+      SELECT CAST(r AS BIGINT) AS r FROM range({d}) t(r)
+    ), cms AS (
+      SELECT r, md5_number_upper(token || '#' || CAST(r AS VARCHAR))
+               % {w} AS bucket,
+             CAST(sum(n_true) AS BIGINT) AS cnt
+      FROM counts CROSS JOIN rws GROUP BY 1, 2
+    )
+    SELECT t.token, t.n_true, CAST(min(c.cnt) AS BIGINT) AS n_est
+    FROM topk t CROSS JOIN rws r
+    JOIN cms c ON c.r = r.r
+     AND c.bucket = md5_number_upper(t.token || '#'
+                      || CAST(r.r AS VARCHAR)) % {w}
+    GROUP BY 1, 2"""
+
+
+@register("vocab_heavy_md5", sql=_cms_md5_sql())
+def vocab_heavy_md5(sf_dir: str):
+    """``vocab_heavy_approx`` with the PORTABLE md5 hash family —
+    the count-min sketch tier driver-oracled EXACTLY (the
+    custkey_distinct_hll_md5 pattern applied to heavy hitters): the
+    distributed CMS fold, the exact top-25 selection, and every
+    min-over-rows estimate are integer-identical to the DuckDB twin.
+    Single scan, single token-key exchange: per-batch local (token,
+    count) partials -> one hash exchange -> per-partition CMS partial
+    (4x4096 int64, tokens hashed once each at their GLOBAL count)
+    plus the partition's exact top-25; driver folds <= 16 summary
+    rows. Proves the sketch arithmetic the fast ``vocab_heavy_approx``
+    (in-engine hash64) relies on; its candidate-recall compromise is
+    separately property-tested."""
+    import re as _re
+
+    from ...functions.hashing import md5_suffixed64_flat
+    from ...functions.text_stats import WS_CLASS
+    ws_re = _re.compile(WS_CLASS + "+")
+    D, W, K = _CMS_D, _CMS_W, _CMS_TOPK
+    ds = rd.read_parquet(_path(sf_dir, "documents"), columns=["text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in batch["text"]:
+            if not isinstance(t, str):
+                continue
+            t = t.strip(" \t\n\r\f")
+            if t:
+                toks.extend(ws_re.split(t))
+        if not toks:
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        uniq, counts = np.unique(np.asarray(toks, object),
+                                 return_counts=True)
+        return pd.DataFrame({"token": uniq,
+                             "n": counts.astype(np.int64)})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        tok = g["token"].to_numpy(object)
+        n = g["n"].to_numpy(np.int64)
+        sk = np.zeros((D, W), np.int64)
+        if len(tok):
+            hv = md5_suffixed64_flat(tok, D)
+            for r in range(D):
+                np.add.at(sk[r], (hv[r] % np.uint64(W)).astype(np.int64),
+                          n)
+        g = g.sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort").head(K)
+        return pd.DataFrame({
+            "token": [list(g["token"])],
+            "n": [list(g["n"])],
+            "sketch": [sk.tobytes()]})
+
+    parts = partition_map(
+        ds.map_batches(explode, batch_format="pandas"),
+        ["token"], per_part, 16).to_pandas()
+    sk = np.zeros((D, W), np.int64)
+    for b in parts["sketch"]:
+        sk += np.frombuffer(b, np.int64).reshape(D, W)
+    toks = np.asarray([t for row in parts["token"] for t in row],
+                      object)
+    ns = np.asarray([v for row in parts["n"] for v in row], np.int64)
+    if not len(toks):
+        return pd.DataFrame({"token": pd.Series(dtype=object),
+                             "n_true": pd.Series(dtype=np.int64),
+                             "n_est": pd.Series(dtype=np.int64)})
+    order = np.lexsort((toks, -ns))[:K]
+    toks, ns = toks[order], ns[order]
+    hv = md5_suffixed64_flat(toks, D)
+    est = np.min(np.stack(
+        [sk[r][(hv[r] % np.uint64(W)).astype(np.int64)]
+         for r in range(D)]), axis=0)
+    return pd.DataFrame({"token": toks, "n_true": ns,
+                         "n_est": est.astype(np.int64)})
+
+
 @register("doc_fingerprint_md5", sql="""
     WITH g AS (
       SELECT doc_id, length(coalesce(text, '')) AS n,

@@ -806,6 +806,135 @@ def decontaminate_bloom(sf_dir: str):
     return ds.map_batches(Mark, batch_format="pandas", concurrency=2)
 
 
+_BLOOM_MD5_M, _BLOOM_MD5_K = 1 << 20, 7
+
+
+def _bloom_md5_sql(m: int = _BLOOM_MD5_M,
+                   k: int = _BLOOM_MD5_K) -> str:
+    """DuckDB twin of ``decontaminate_bloom_md5``: the benchmark
+    side's Bloom BIT SET is rebuilt from the same
+    ``md5_number_upper(gram || '#' || k) % m`` family; a gram is
+    positive iff ALL k positions are set — false positives and all."""
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split_regex(trim(text, E' \\t\\n\\r\\f'),
+                                '[ \\t\\n\\r\\f]+') AS w
+      FROM documents WHERE trim(text, E' \\t\\n\\r\\f') <> ''
+    ), g AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
+               THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+      FROM docs
+    ), u AS (
+      SELECT doc_id, unnest(s) AS gram FROM g
+    ), ks AS (
+      SELECT CAST(r AS BIGINT) AS k FROM range({k}) t(r)
+    ), bits AS (
+      SELECT DISTINCT md5_number_upper(gram || '#'
+               || CAST(k AS VARCHAR)) % {m} AS bit
+      FROM (SELECT DISTINCT gram FROM u WHERE doc_id % 97 = 0)
+      CROSS JOIN ks
+    ), probe AS (
+      SELECT u.doc_id, u.gram,
+             min(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS hit
+      FROM u CROSS JOIN ks
+      LEFT JOIN bits b
+        ON b.bit = md5_number_upper(u.gram || '#'
+                     || CAST(ks.k AS VARCHAR)) % {m}
+      GROUP BY u.doc_id, u.gram
+    ), hits AS (
+      SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_hits
+      FROM probe GROUP BY doc_id
+    )
+    SELECT g.doc_id, g.doc_id % 97 = 0 AS is_benchmark,
+           coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id"""
+
+
+@register("decontaminate_bloom_md5", sql=_bloom_md5_sql())
+def decontaminate_bloom_md5(sf_dir: str):
+    """``decontaminate_bloom`` with the PORTABLE md5 position family
+    — the Bloom membership tier driver-oracled EXACTLY, false
+    positives included (the custkey_distinct_hll_md5 pattern applied
+    to set membership). Same distributed shape as the fast tier:
+    per-batch 128 KiB bitmap partials OR-merged on the driver,
+    broadcast once, probed with one vectorized (k x grams) position
+    lookup per batch; the SQL twin recomputes the benchmark bit set
+    and flags a gram iff all {k} positions are set."""
+    from ...functions.hashing import md5_suffixed64_flat
+    from ...stages.dedup import _tokenize
+
+    M, K = _BLOOM_MD5_M, _BLOOM_MD5_K
+
+    def grams_of(toks: list[str]) -> np.ndarray:
+        if not toks:
+            return np.empty(0, dtype=object)
+        if len(toks) < 3:
+            return np.asarray([" ".join(toks)], dtype=object)
+        return np.unique(np.asarray(
+            [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)],
+            dtype=object))
+
+    def positions(grams: np.ndarray) -> np.ndarray:
+        return (md5_suffixed64_flat(grams, K)
+                % np.uint64(M)).astype(np.int64)
+
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def bench_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"] % 97 == 0]
+        gs = [grams_of(t) for t in _tokenize(b["text"])]
+        gs = [g for g in gs if len(g)]
+        bmp = np.zeros(M >> 3, np.uint8)
+        if gs:
+            pos = positions(np.unique(np.concatenate(gs))).ravel()
+            np.bitwise_or.at(
+                bmp, pos >> 3,
+                np.left_shift(np.uint8(1),
+                              (pos & 7).astype(np.uint8)))
+        return pd.DataFrame({"bmp": [bmp.tobytes()]})
+
+    parts = ds.map_batches(bench_partial,
+                           batch_format="pandas") \
+        .limit(100_000).to_pandas()
+    bmp = np.zeros(M >> 3, np.uint8)
+    for p in parts["bmp"]:
+        bmp |= np.frombuffer(p, np.uint8)
+    bref = ray.put(bmp)
+
+    class Mark:
+        def __init__(self):
+            self.bmp = ray.get(bref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            gs = [grams_of(t) for t in _tokenize(b["text"])]
+            keep = np.asarray([len(g) > 0 for g in gs])
+            hits = np.zeros(len(gs), np.int64)
+            if keep.any():
+                flat = np.concatenate([g for g in gs if len(g)])
+                pos = positions(flat)                       # (K, G)
+                memb = ((self.bmp[pos >> 3]
+                         >> (pos & 7).astype(np.uint8)) & 1) \
+                    .all(axis=0)
+                lens = np.asarray([len(g) for g in gs if len(g)])
+                cs = np.concatenate(([0], np.cumsum(memb)))
+                off = np.concatenate(([0], np.cumsum(lens)))
+                hits[keep] = cs[off[1:]] - cs[off[:-1]]
+            out = pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_hits": hits})[keep]
+            out["is_benchmark"] = (out["doc_id"] % 97 == 0)
+            out["contaminated"] = out["n_hits"] > 0
+            return out[["doc_id", "is_benchmark", "n_hits",
+                        "contaminated"]]
+
+    return ds.map_batches(Mark, batch_format="pandas", concurrency=2)
+
+
 @register("doc_chunks", sql="""
     WITH RECURSIVE idx(i) AS (
       SELECT CAST(0 AS BIGINT)
