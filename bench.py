@@ -153,9 +153,11 @@ def run_headline(num_partitions: int = 32) -> dict:
     # SCALING of the engine with host disk noise.
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     out_root = tempfile.mkdtemp(prefix="nfx_bench_", dir=shm)
-    feat_dir = os.path.join(out_root, "features")
-    probe_dir = os.path.join(out_root, "probe_features")
     try:
+      best, best_s, raw = None, None, []
+      for rep in range(HEADLINE_REPEATS):
+        feat_dir = os.path.join(out_root, "features_%d" % rep)
+        probe_dir = os.path.join(out_root, "probe_features_%d" % rep)
         t0 = time.perf_counter()
         pages = rd.read_parquet(pages_path,
                                 columns=["url", "warc_ts", "html", "lang"])
@@ -183,15 +185,20 @@ def run_headline(num_partitions: int = 32) -> dict:
                 feat_dir, probes, num_partitions=num_partitions) \
                 .write_parquet(probe_dir)
         sec = time.perf_counter() - t0
-        s = summarize(feat_dir)
-        return {
-            "headline_sec": round(sec, 3),
-            "pages": n_pages,
-            "pages_per_sec": round(n_pages / sec, 1),
-            "feature_rows": s["rows"],
-            "dropped_rows": s["dropped_rows"],
-            "partitions": s["partitions"],
-        }
+        raw.append(round(sec, 3))
+        if best is None or sec < best:
+            best, best_s = sec, summarize(feat_dir)
+        shutil.rmtree(feat_dir, ignore_errors=True)
+        shutil.rmtree(probe_dir, ignore_errors=True)
+      return {
+          "headline_sec": round(best, 3),
+          "headline_raw_sec": raw,
+          "pages": n_pages,
+          "pages_per_sec": round(n_pages / best, 1),
+          "feature_rows": best_s["rows"],
+          "dropped_rows": best_s["dropped_rows"],
+          "partitions": best_s["partitions"],
+      }
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
 
@@ -199,6 +206,11 @@ def run_headline(num_partitions: int = 32) -> dict:
 #: repeats per query, min-of-N recorded: single-shot numbers alias the
 #: shared host's load epochs into round-over-round comparisons
 QUERY_REPEATS = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
+
+#: headline repeats (min-of-N + raw list recorded): the shared host's
+#: load epochs were measured to swing a single-shot headline 7.4 s ->
+#: 28.3 s on identical code within one morning
+HEADLINE_REPEATS = int(os.environ.get("BENCH_HEADLINE_REPEATS", "2"))
 
 
 def run_queries() -> dict:
@@ -277,6 +289,11 @@ def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    BENCH_HEADLINE_ONLY="1",
+                   # single-shot per subprocess: the alternating
+                   # min-of-N HERE is the repeat protocol (unchanged
+                   # across rounds); in-process headline repeats would
+                   # silently double every level's sample count
+                   BENCH_HEADLINE_REPEATS="1",
                    BENCH_SCALE=os.environ.get("BENCH_SCALE", "scaling"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
