@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     # round-5 additions
     "q8_market_share", "q9_product_profit", "q15_top_supplier",
     "q17_small_quantity", "q19_disjunctive", "q22_sales_opportunity",
+    "q11_important_parts", "q12_priority_census",
+    "q20_dominant_suppliers", "q21_waiting_suppliers",
 ]
 
 

@@ -1,0 +1,364 @@
+# round-5 additions: the remaining TPC-H decorrelation shapes
+# (Q11/Q12/Q20/Q21), reshaped onto the synthetic schema (no partsupp /
+# l_shipmode / l_receiptdate columns exist — the join topology and the
+# correlated-subquery decorrelations are the point, cf. the q8/q9/q17
+# notes in q26_round_5_tpc.py).
+from __future__ import annotations
+
+from ._shared import (ORACLE, QUERIES, _combine_partials, _path,
+                      _read_dim, _sorted_member, datetime, np, pa,
+                      partition_map, pc, pd, ray, rd, register)
+
+_Q12_HI = ("1-URGENT", "2-HIGH")
+
+
+@register("q11_important_parts", sql="""
+    WITH sn AS (
+      SELECT s_suppkey FROM supplier JOIN nation
+        ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'),
+    v AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS val_cents
+      FROM lineitem JOIN sn ON l_suppkey = s_suppkey
+      GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey, val_cents
+    FROM v
+    WHERE val_cents * 1000 > (SELECT sum(val_cents) FROM v)
+    ORDER BY val_cents DESC, p_partkey""")
+def q11_important_parts(sf_dir: str):
+    """TPC-H-Q11-shaped important stock: parts whose value supplied by
+    one nation's suppliers exceeds 0.1% of that nation's total — the
+    HAVING-against-a-scalar-subquery-over-the-SAME-aggregate shape
+    (the synthetic schema has no partsupp, so value = extendedprice
+    cents from lineitem). Engine plan: the nation's supplier keyset is
+    a tiny broadcast; per-batch (partkey, cents) partials feed ONE
+    partkey co-partitioning exchange; the per-part sums Dataset is
+    materialized once and reused for BOTH consumers (global total via
+    one-row-per-block partials, then the threshold filter) — the
+    filter is an exact integer cross-multiplication
+    (val·1000 > total, no float), and only winners (< 1000 rows by
+    construction: each exceeds 0.1% of the total) reach the driver."""
+    nat = _read_dim(_path(sf_dir, "nation"), ["n_nationkey", "n_name"])
+    nk = nat.loc[nat["n_name"] == "NATION_3",
+                 "n_nationkey"].to_numpy(np.int64)
+    sup = _read_dim(_path(sf_dir, "supplier"),
+                    ["s_suppkey", "s_nationkey"])
+    sk_ref = ray.put(np.sort(sup.loc[sup["s_nationkey"].isin(nk),
+                                     "s_suppkey"].to_numpy(np.int64)))
+
+    ds = rd.read_parquet(_path(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keep = _sorted_member(ray.get(sk_ref),
+                              b["l_suppkey"].to_numpy(np.int64))
+        b = b[keep]
+        d = pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(np.int64),
+            "val_cents": np.round(b["l_extendedprice"].to_numpy()
+                                  * 100).astype(np.int64)})
+        return d.groupby("l_partkey", as_index=False).agg(
+            val_cents=("val_cents", "sum"))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("l_partkey", as_index=False).agg(
+            val_cents=("val_cents", "sum"))
+        return pd.DataFrame({
+            "l_partkey": c["l_partkey"].to_numpy(np.int64),
+            "val_cents": c["val_cents"].to_numpy(np.int64)})
+
+    sums = partition_map(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_partkey"], per_part, 16).materialize()
+
+    def tot_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": np.zeros(1, np.int64),
+                             "t": np.asarray(
+                                 [b["val_cents"].sum()], np.int64)})
+
+    tot_pdf = _combine_partials(
+        sums.map_batches(tot_partial, batch_format="pandas"),
+        ["k"], ["t"])
+    total = int(tot_pdf["t"].iloc[0]) if len(tot_pdf) else 0
+
+    def winners(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["val_cents"].to_numpy(np.int64) * 1000 > total
+        b = b[keep]
+        return pd.DataFrame({
+            "p_partkey": b["l_partkey"].to_numpy(np.int64),
+            "val_cents": b["val_cents"].to_numpy(np.int64)})
+
+    out = sums.map_batches(winners, batch_format="pandas").to_pandas()
+    return out.sort_values(["val_cents", "p_partkey"],
+                           ascending=[False, True],
+                           kind="mergesort").reset_index(drop=True)
+
+
+@register("q12_priority_census", sql="""
+    SELECT l_returnflag AS return_flag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY return_flag ORDER BY return_flag""")
+def q12_priority_census(sf_dir: str):
+    """TPC-H-Q12-shaped priority census: of the lines shipped in 1997,
+    how many belonged to high- vs low-priority orders, per return
+    flag (the synthetic schema has no l_shipmode; l_returnflag plays
+    the grouping attribute). Large×large join with no broadcast: both
+    sides stream aggregate-grain partials into ONE orderkey
+    co-partitioning exchange — orders as (key, priority), lineitem
+    pre-collapsed per batch to (key, flag, n) counts — each partition
+    merges vectorized and emits (flag, high, low) partials; the final
+    combine is |flags| rows (cf. q4_priority's EXISTS flavor of the
+    same exchange)."""
+    lo, hi = datetime(1997, 1, 1), datetime(1998, 1, 1)
+    orders = rd.read_parquet(_path(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    li = rd.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        filter=((pc.field("l_shipdate")
+                 >= pa.scalar(lo, pa.timestamp("us")))
+                & (pc.field("l_shipdate")
+                   < pa.scalar(hi, pa.timestamp("us")))))
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["o_orderkey"].to_numpy(np.int64),
+            "s": b["o_orderpriority"].astype(object),
+            "n": np.zeros(len(b), np.int64),
+            "side": np.zeros(len(b), np.int64)})
+
+    def line_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"key": b["l_orderkey"].to_numpy(np.int64),
+                          "s": b["l_returnflag"].astype(object)})
+        c = d.groupby(["key", "s"], as_index=False).agg(
+            n=("key", "size"))
+        return pd.DataFrame({"key": c["key"].to_numpy(np.int64),
+                             "s": c["s"].astype(object),
+                             "n": c["n"].to_numpy(np.int64),
+                             "side": np.ones(len(c), np.int64)})
+
+    both = orders.map_batches(order_rows, batch_format="pandas").union(
+        li.map_batches(line_partial, batch_format="pandas"))
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        if o.empty or l.empty:
+            return pd.DataFrame({
+                "return_flag": np.array([], object),
+                "high_line_count": np.array([], np.int64),
+                "low_line_count": np.array([], np.int64)})
+        m = l.merge(o[["key", "s"]].rename(columns={"s": "prio"}),
+                    on="key", how="inner")
+        hi_m = m["prio"].isin(_Q12_HI).to_numpy(bool)
+        n = m["n"].to_numpy(np.int64)
+        m = pd.DataFrame({"s": m["s"].astype(object),
+                          "high": np.where(hi_m, n, 0),
+                          "low": np.where(hi_m, 0, n)})
+        c = m.groupby("s", as_index=False)[["high", "low"]].sum()
+        return pd.DataFrame({
+            "return_flag": c["s"].astype(object),
+            "high_line_count": c["high"].to_numpy(np.int64),
+            "low_line_count": c["low"].to_numpy(np.int64)})
+
+    partials = partition_map(both, ["key"], census, 16)
+    out = _combine_partials(partials, ["return_flag"],
+                            ["high_line_count", "low_line_count"])
+    out["high_line_count"] = out["high_line_count"].astype(np.int64)
+    out["low_line_count"] = out["low_line_count"].astype(np.int64)
+    return out.sort_values("return_flag",
+                           kind="mergesort").reset_index(drop=True)
+
+
+@register("q20_dominant_suppliers", sql="""
+    WITH pk AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    g AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS qc
+      FROM lineitem JOIN pk ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey),
+    t AS (SELECT l_partkey, CAST(sum(qc) AS BIGINT) AS tq
+          FROM g GROUP BY l_partkey)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM g JOIN t USING (l_partkey)
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+    WHERE 2 * qc > tq AND n_name = 'NATION_3'
+    ORDER BY s_suppkey""")
+def q20_dominant_suppliers(sf_dir: str):
+    """TPC-H-Q20-shaped supplier promotion: NATION_3 suppliers who
+    shipped MORE THAN HALF of some PROMO part's 1997 volume — the
+    nested semi-join chain (part filter → correlated per-part
+    aggregate threshold → DISTINCT supplier → nation filter; the
+    synthetic schema has no partsupp, so availqty > ½·sum(qty)
+    becomes supplier-share > ½·part-total). Engine plan: promo part
+    keys broadcast; per-batch (part, supplier, qty-cents) partials
+    feed ONE partkey co-partitioning exchange where each partition
+    holds every qualifying line of its parts — the dominance test is
+    an exact integer comparison (2·qc > tq) — and emits its distinct
+    winner suppkeys; the driver combine is supplier-bounded, where
+    the nation filter and name attach are dim lookups."""
+    part = _read_dim(_path(sf_dir, "part"), ["p_partkey", "p_type"])
+    pk_ref = ray.put(np.sort(part.loc[part["p_type"] == "PROMO",
+                                      "p_partkey"].to_numpy(np.int64)))
+    lo, hi = datetime(1997, 1, 1), datetime(1998, 1, 1)
+    ds = rd.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        filter=((pc.field("l_shipdate")
+                 >= pa.scalar(lo, pa.timestamp("us")))
+                & (pc.field("l_shipdate")
+                   < pa.scalar(hi, pa.timestamp("us")))))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keep = _sorted_member(ray.get(pk_ref),
+                              b["l_partkey"].to_numpy(np.int64))
+        b = b[keep]
+        d = pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+            "qc": np.round(b["l_quantity"].to_numpy()
+                           * 100).astype(np.int64)})
+        return d.groupby(["l_partkey", "l_suppkey"],
+                         as_index=False).agg(qc=("qc", "sum"))
+
+    def dominant(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"l_suppkey": np.array([], np.int64),
+                                 "one": np.array([], np.int64)})
+        s = g.groupby(["l_partkey", "l_suppkey"],
+                      as_index=False).agg(qc=("qc", "sum"))
+        tq = s.groupby("l_partkey")["qc"].transform("sum") \
+            .to_numpy(np.int64)
+        win = s[2 * s["qc"].to_numpy(np.int64) > tq]
+        k = np.unique(win["l_suppkey"].to_numpy(np.int64))
+        return pd.DataFrame({"l_suppkey": k,
+                             "one": np.ones(len(k), np.int64)})
+
+    partials = partition_map(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_partkey"], dominant, 16)
+    keys = _combine_partials(partials, ["l_suppkey"], ["one"])
+
+    sup = _read_dim(_path(sf_dir, "supplier"),
+                    ["s_suppkey", "s_name", "s_nationkey"])
+    nat = _read_dim(_path(sf_dir, "nation"), ["n_nationkey", "n_name"])
+    nk = nat.loc[nat["n_name"] == "NATION_3",
+                 "n_nationkey"].to_numpy(np.int64)
+    sup = sup[sup["s_nationkey"].isin(nk)]
+    out = keys.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out = pd.DataFrame({
+        "s_suppkey": out["s_suppkey"].to_numpy(np.int64),
+        "s_name": out["s_name"].to_numpy(object)})
+    return out.sort_values("s_suppkey",
+                           kind="mergesort").reset_index(drop=True)
+
+
+@register("q21_waiting_suppliers", sql="""
+    WITH g AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(max(CASE WHEN l_shipdate >
+                                o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS BIGINT) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey),
+    o AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS nsupp,
+             CAST(sum(late) AS BIGINT) AS nlate
+      FROM g GROUP BY l_orderkey)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM g JOIN o USING (l_orderkey)
+         JOIN supplier ON s_suppkey = l_suppkey
+    WHERE g.late = 1 AND o.nsupp > 1 AND o.nlate = 1
+    GROUP BY s_name ORDER BY numwait DESC, s_name""")
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H-Q21-shaped waiting-supplier census: per supplier, the
+    finished ('F') multi-supplier orders where THIS supplier was the
+    only late one — the EXISTS + NOT-EXISTS double correlation (the
+    synthetic schema has no receipt/commit dates, so "late" =
+    shipped > 90 days after the order date). Decorrelated into ONE
+    orderkey co-partitioning exchange with no broadcast: orders
+    stream (key, orderdate) rows, lineitem streams per-batch
+    (key, supplier, max-shipdate) partials; each partition re-folds
+    the per-(order, supplier) max, derives late flags against the
+    order's deadline, and applies both correlated predicates
+    (nsupp > 1 ⟺ EXISTS other supplier; nlate = 1 ⟺ NOT EXISTS other
+    late supplier) vectorized, emitting (suppkey, n) partials; the
+    driver combine is supplier-bounded and the name attach is a dim
+    lookup."""
+    orders = rd.read_parquet(
+        _path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+        filter=(pc.field("o_orderstatus") == "F"))
+    li = rd.read_parquet(_path(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_shipdate"])
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["o_orderkey"].to_numpy(np.int64),
+            "sk": np.full(len(b), -1, np.int64),
+            "ts": b["o_orderdate"].to_numpy(),
+            "side": np.zeros(len(b), np.int64)})
+
+    def line_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"key": b["l_orderkey"].to_numpy(np.int64),
+                          "sk": b["l_suppkey"].to_numpy(np.int64),
+                          "ts": b["l_shipdate"].to_numpy()})
+        c = d.groupby(["key", "sk"], as_index=False).agg(
+            ts=("ts", "max"))
+        c["side"] = np.ones(len(c), np.int64)
+        return c[["key", "sk", "ts", "side"]]
+
+    both = orders.map_batches(order_rows, batch_format="pandas").union(
+        li.map_batches(line_partial, batch_format="pandas"))
+
+    def waits(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"sk": np.array([], np.int64),
+                              "n": np.array([], np.int64)})
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        if o.empty or l.empty:
+            return empty
+        ls = l.groupby(["key", "sk"], as_index=False).agg(
+            ts=("ts", "max"))
+        m = ls.merge(o[["key", "ts"]].rename(columns={"ts": "odate"}),
+                     on="key", how="inner")
+        if m.empty:
+            return empty
+        m["late"] = (m["ts"] > m["odate"]
+                     + pd.Timedelta(days=90)).to_numpy().astype(np.int64)
+        st = m.groupby("key", as_index=False).agg(
+            nsupp=("sk", "size"), nlate=("late", "sum"))
+        m = m.merge(st, on="key")
+        win = m[(m["late"] == 1) & (m["nsupp"] > 1) & (m["nlate"] == 1)]
+        c = win.groupby("sk", as_index=False).agg(n=("key", "size"))
+        return pd.DataFrame({"sk": c["sk"].to_numpy(np.int64),
+                             "n": c["n"].to_numpy(np.int64)})
+
+    partials = partition_map(both, ["key"], waits, 16)
+    counts = _combine_partials(partials, ["sk"], ["n"])
+
+    sup = _read_dim(_path(sf_dir, "supplier"), ["s_suppkey", "s_name"])
+    out = counts.merge(sup, left_on="sk", right_on="s_suppkey")
+    out = out.groupby("s_name", as_index=False).agg(
+        numwait=("n", "sum"))
+    out = pd.DataFrame({"s_name": out["s_name"].to_numpy(object),
+                        "numwait": out["numwait"].to_numpy(np.int64)})
+    return out.sort_values(["numwait", "s_name"],
+                           ascending=[False, True],
+                           kind="mergesort").reset_index(drop=True)
