@@ -25,21 +25,26 @@ _Q12_HI = ("1-URGENT", "2-HIGH")
       GROUP BY l_partkey)
     SELECT l_partkey AS p_partkey, val_cents
     FROM v
-    WHERE val_cents * 1000 > (SELECT sum(val_cents) FROM v)
+    WHERE CAST(val_cents AS HUGEINT) * 2 * (SELECT count(*) FROM v)
+          > 3 * (SELECT CAST(sum(val_cents) AS HUGEINT) FROM v)
     ORDER BY val_cents DESC, p_partkey""")
 def q11_important_parts(sf_dir: str):
     """TPC-H-Q11-shaped important stock: parts whose value supplied by
-    one nation's suppliers exceeds 0.1% of that nation's total — the
-    HAVING-against-a-scalar-subquery-over-the-SAME-aggregate shape
+    one nation's suppliers exceeds 1.5x the nation's MEAN part value —
+    the HAVING-against-a-scalar-subquery-over-the-SAME-aggregate shape
     (the synthetic schema has no partsupp, so value = extendedprice
-    cents from lineitem). Engine plan: the nation's supplier keyset is
-    a tiny broadcast; per-batch (partkey, cents) partials feed ONE
-    partkey co-partitioning exchange; the per-part sums Dataset is
-    materialized once and reused for BOTH consumers (global total via
+    cents from lineitem; Q11's absolute 0.0001 fraction is replaced by
+    a mean-relative threshold because a fixed share of the total
+    selects zero parts once the part count passes 1/fraction — the
+    mean-relative form keeps the selection meaningful at every scale).
+    Engine plan: the nation's supplier keyset is a tiny broadcast;
+    per-batch (partkey, cents) partials feed ONE partkey
+    co-partitioning exchange; the per-part sums Dataset is materialized
+    once and reused for BOTH consumers (global total + part count via
     one-row-per-block partials, then the threshold filter) — the
-    filter is an exact integer cross-multiplication
-    (val·1000 > total, no float), and only winners (< 1000 rows by
-    construction: each exceeds 0.1% of the total) reach the driver."""
+    filter is exact integer arithmetic (val·2n > 3·total, folded to a
+    python-int bound so no int64 product can wrap), and only the
+    winner tail reaches the driver."""
     nat = _read_dim(_path(sf_dir, "nation"), ["n_nationkey", "n_name"])
     nk = nat.loc[nat["n_name"] == "NATION_3",
                  "n_nationkey"].to_numpy(np.int64)
@@ -77,24 +82,31 @@ def q11_important_parts(sf_dir: str):
     def tot_partial(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"k": np.zeros(1, np.int64),
                              "t": np.asarray(
-                                 [b["val_cents"].sum()], np.int64)})
+                                 [b["val_cents"].sum()], np.int64),
+                             "c": np.asarray([len(b)], np.int64)})
 
     tot_pdf = _combine_partials(
         sums.map_batches(tot_partial, batch_format="pandas"),
-        ["k"], ["t"])
+        ["k"], ["t", "c"])
     total = int(tot_pdf["t"].iloc[0]) if len(tot_pdf) else 0
+    nparts = int(tot_pdf["c"].iloc[0]) if len(tot_pdf) else 0
+    # val·2n > 3·total  ⟺  val ≥ ⌊3·total / 2n⌋ + 1 — fold the cross
+    # product to a python-int bound so no int64 product can wrap
+    bound = (3 * total) // (2 * nparts) + 1 if nparts else 0
 
     def winners(b: pd.DataFrame) -> pd.DataFrame:
-        keep = b["val_cents"].to_numpy(np.int64) * 1000 > total
+        keep = b["val_cents"].to_numpy(np.int64) >= bound
         b = b[keep]
         return pd.DataFrame({
             "p_partkey": b["l_partkey"].to_numpy(np.int64),
             "val_cents": b["val_cents"].to_numpy(np.int64)})
 
-    out = sums.map_batches(winners, batch_format="pandas").to_pandas()
-    return out.sort_values(["val_cents", "p_partkey"],
-                           ascending=[False, True],
-                           kind="mergesort").reset_index(drop=True)
+    # stays a Dataset end-to-end: the winner tail is a constant
+    # FRACTION of the part dim (mean-relative threshold), so a driver
+    # pull would grow with the catalog — the sort is distributed and
+    # the caller decides what to materialize
+    return sums.map_batches(winners, batch_format="pandas") \
+        .sort(["val_cents", "p_partkey"], descending=[True, False])
 
 
 @register("q12_priority_census", sql="""
