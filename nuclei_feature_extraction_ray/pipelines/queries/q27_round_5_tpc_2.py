@@ -374,3 +374,126 @@ def q21_waiting_suppliers(sf_dir: str):
     return out.sort_values(["numwait", "s_name"],
                            ascending=[False, True],
                            kind="mergesort").reset_index(drop=True)
+
+
+def _basket_edges_sym(sf_dir: str):
+    """Symmetrized co-purchase edge Dataset (src, dst): both
+    directions of every support-filtered basket pair — the adjacency
+    list part_pagerank iterates over (built by the shared basket
+    machinery, two bounded hash exchanges)."""
+    from .q10_feature_engineering_readability import _basket_edges
+
+    def sym(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["part_a"].to_numpy(np.int64)
+        c = b["part_b"].to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([a, c]),
+                             "dst": np.concatenate([c, a])})
+
+    return _basket_edges(sf_dir).map_batches(sym,
+                                             batch_format="pandas")
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Chained-CTE PageRank oracle: K fixed iterations of
+    r' = 150000 + (85 · Σ_{u→v} r(u)//deg(u)) // 100 in pure integer
+    arithmetic — every term is an exact floor division, so the fold is
+    order-independent and bit-identical across engines."""
+    sql = ["""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+            FROM e GROUP BY 1),
+    r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM deg)"""]
+    for k in range(1, iters + 1):
+        sql.append(""",
+    r%d AS (
+      SELECT deg.v,
+             CAST(150000 + (85 * COALESCE(t.s, 0)) // 100 AS BIGINT)
+               AS r
+      FROM deg LEFT JOIN (
+        SELECT e.dst AS v,
+               CAST(sum(p.r // g.deg) AS BIGINT) AS s
+        FROM e JOIN r%d p ON e.src = p.v
+               JOIN deg g ON e.src = g.v
+        GROUP BY 1) t ON deg.v = t.v)""" % (k, k - 1))
+    sql.append("""
+    SELECT deg.v AS p_partkey, deg.deg AS degree, r%d.r AS rank_micro
+    FROM r%d JOIN deg ON r%d.v = deg.v
+    ORDER BY rank_micro DESC, p_partkey LIMIT 100"""
+               % (iters, iters, iters))
+    return "".join(sql)
+
+
+_PAGERANK_ITERS = 3
+
+
+@register("part_pagerank", sql=_pagerank_sql(_PAGERANK_ITERS))
+def part_pagerank(sf_dir: str):
+    """PageRank over the part co-purchase graph (3 fixed iterations,
+    damping 0.85): rank flows along support-filtered co-order edges —
+    the iterative-graph-algorithm operator class (cf. triangle_count's
+    2-round wedge check and entity_clusters' large-star/small-star
+    loop). All arithmetic is integer micro-units with per-edge floor
+    division (r//deg summed, then ·85//100), so the result is
+    bit-identical to the chained-CTE DuckDB oracle with NO float
+    ordering concerns. Scale plan: the edge list is built once by the
+    shared basket machinery (two bounded hash exchanges) and
+    materialized; each iteration is ONE vectorized pass over the edge
+    blocks (ranks+degrees broadcast as sorted arrays — node state is
+    part-dim-sized, the same class _read_dim already guards) followed
+    by a node-keyed partition exchange to fold contribution partials;
+    the driver holds only the part-dim-bounded rank vector. Top-100
+    by rank is the bounded result."""
+    edges2 = _basket_edges_sym(sf_dir).materialize()
+
+    def deg_part(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("src", as_index=False).agg(deg=("dst", "size"))
+        return pd.DataFrame({"v": c["src"].to_numpy(np.int64),
+                             "deg": c["deg"].to_numpy(np.int64)})
+
+    deg_pdf = partition_map(edges2, ["src"], deg_part, 16).to_pandas()
+    if deg_pdf.empty:
+        return pd.DataFrame({"p_partkey": np.array([], np.int64),
+                             "degree": np.array([], np.int64),
+                             "rank_micro": np.array([], np.int64)})
+    deg_pdf = deg_pdf.sort_values("v", kind="mergesort")
+    knodes = deg_pdf["v"].to_numpy(np.int64)
+    degs = deg_pdf["deg"].to_numpy(np.int64)
+    ranks = np.full(len(knodes), 1_000_000, np.int64)
+
+    for _ in range(_PAGERANK_ITERS):
+        state = ray.put((knodes, ranks, degs))
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            kn, rk, dg = ray.get(state)
+            i = np.searchsorted(kn, b["src"].to_numpy(np.int64))
+            c = rk[i] // dg[i]
+            d = pd.DataFrame({"v": b["dst"].to_numpy(np.int64),
+                              "s": c})
+            return d.groupby("v", as_index=False).agg(s=("s", "sum"))
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            c = g.groupby("v", as_index=False).agg(s=("s", "sum"))
+            return pd.DataFrame({"v": c["v"].to_numpy(np.int64),
+                                 "s": c["s"].to_numpy(np.int64)})
+
+        s_pdf = partition_map(
+            edges2.map_batches(contrib, batch_format="pandas"),
+            ["v"], fold, 16).to_pandas()
+        s = np.zeros(len(knodes), np.int64)
+        if len(s_pdf):
+            j = np.searchsorted(knodes, s_pdf["v"].to_numpy(np.int64))
+            s[j] = s_pdf["s"].to_numpy(np.int64)
+        ranks = 150_000 + (85 * s) // 100
+
+    out = pd.DataFrame({"p_partkey": knodes, "degree": degs,
+                        "rank_micro": ranks})
+    out = out.sort_values(["rank_micro", "p_partkey"],
+                          ascending=[False, True],
+                          kind="mergesort").head(100)
+    return out.reset_index(drop=True)
