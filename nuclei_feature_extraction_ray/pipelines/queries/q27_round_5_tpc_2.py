@@ -497,3 +497,79 @@ def part_pagerank(sf_dir: str):
                           ascending=[False, True],
                           kind="mergesort").head(100)
     return out.reset_index(drop=True)
+
+
+@register("item_cosine_sim", sql="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    m AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+          FROM d GROUP BY 1),
+    e AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT part_a, part_b, n_ab AS n_orders,
+           floor(CAST(n_ab AS DOUBLE)
+                 / sqrt(CAST(ma.n * mb.n AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000.0 AS cosine_sim
+    FROM e JOIN m ma ON ma.l_partkey = part_a
+           JOIN m mb ON mb.l_partkey = part_b
+    ORDER BY cosine_sim DESC, part_a, part_b LIMIT 200""")
+def item_cosine_sim(sf_dir: str):
+    """Item-item cosine similarity from co-purchase counts
+    (sim = n_ab / sqrt(n_a · n_b)) — the classic neighborhood
+    recommender / complementary-item feature. Scale plan: the shared
+    basket grain is materialized ONCE and feeds both the per-part
+    order marginals (one partkey exchange, part-dim-bounded pull →
+    broadcast sorted arrays) and the support-filtered pair edges (the
+    shared two-exchange basket machinery); similarity attaches
+    map-side via searchsorted, and top-200 is a bounded per-block
+    partial top-k folded on the driver (blocks × 200 rows), never a
+    full distributed sort. The engine/oracle float is one double
+    division + sqrt over exact integers with a shared
+    half-away-from-zero 1e-6 rounding, so the compare is bit-exact."""
+    from .q10_feature_engineering_readability import (_basket_edges,
+                                                      _basket_grain)
+    grain = _basket_grain(sf_dir).materialize()
+
+    def marg_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        c = g.groupby("l_partkey", as_index=False).agg(
+            n=("l_orderkey", "size"))
+        return pd.DataFrame({"l_partkey": c["l_partkey"]
+                             .to_numpy(np.int64),
+                             "n": c["n"].to_numpy(np.int64)})
+
+    marg = partition_map(grain, ["l_partkey"], marg_part,
+                         16).to_pandas()
+    marg = marg.sort_values("l_partkey", kind="mergesort")
+    mk = marg["l_partkey"].to_numpy(np.int64)
+    mn = marg["n"].to_numpy(np.int64)
+    m_ref = ray.put((mk, mn))
+
+    K = 200
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        kk, nn = ray.get(m_ref)
+        a = b["part_a"].to_numpy(np.int64)
+        c = b["part_b"].to_numpy(np.int64)
+        nab = b["n_orders"].to_numpy(np.int64)
+        na = nn[np.searchsorted(kk, a)]
+        nb = nn[np.searchsorted(kk, c)]
+        sim = nab.astype(np.float64) / np.sqrt(
+            (na * nb).astype(np.float64))
+        sim = np.floor(sim * 1_000_000 + 0.5) / 1_000_000
+        d = pd.DataFrame({"part_a": a, "part_b": c, "n_orders": nab,
+                          "cosine_sim": sim})
+        # per-block partial top-k: only blocks x K rows cross the wire
+        return d.sort_values(["cosine_sim", "part_a", "part_b"],
+                             ascending=[False, True, True],
+                             kind="mergesort").head(K)
+
+    out = _basket_edges(sf_dir, grain=grain) \
+        .map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values(["cosine_sim", "part_a", "part_b"],
+                           ascending=[False, True, True],
+                           kind="mergesort").head(K) \
+        .reset_index(drop=True)
