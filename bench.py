@@ -106,7 +106,7 @@ BENCH_QUERIES = [
     "q17_small_quantity", "q19_disjunctive", "q22_sales_opportunity",
     "q11_important_parts", "q12_priority_census",
     "q20_dominant_suppliers", "q21_waiting_suppliers",
-    "part_pagerank", "item_cosine_sim",
+    "part_pagerank", "item_cosine_sim", "volume_changepoint",
 ]
 
 

@@ -573,3 +573,78 @@ def item_cosine_sim(sf_dir: str):
                            ascending=[False, True, True],
                            kind="mergesort").head(K) \
         .reset_index(drop=True)
+
+
+@register("volume_changepoint", sql="""
+    WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS nd
+            FROM dc GROUP BY 1),
+    cus AS (SELECT dc.event_type, day,
+                   CAST(sum(dc.n * tot.nd - tot.total)
+                        OVER (PARTITION BY dc.event_type
+                              ORDER BY day) AS BIGINT) AS s
+            FROM dc JOIN tot USING (event_type)),
+    r AS (SELECT event_type, day, abs(s) AS a,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY abs(s) DESC, day) AS rn
+          FROM cus)
+    SELECT r.event_type, day AS change_day,
+           CAST(a AS BIGINT) AS max_abs_cusum,
+           tot.nd AS n_days
+    FROM r JOIN tot USING (event_type)
+    WHERE rn = 1 ORDER BY event_type""")
+def volume_changepoint(sf_dir: str):
+    """CUSUM changepoint detection on daily event volume per stream:
+    the day where the cumulative deviation from the stream's mean
+    daily count peaks — the level-shift detector behind ingest
+    monitoring. All-integer CUSUM: deviations are cross-multiplied
+    (n_d·ndays − total) instead of subtracting a float mean, so the
+    cumulative sums and the argmax are exact in both engines (tie →
+    earliest day). Scale plan: per-batch (stream, day, n) partials
+    (the bounded type×day grid, cf. daily_anomaly) fold in one driver
+    combine; the CUSUM scan itself is grid-sized. int64 headroom:
+    n_d·ndays wraps past ~1e12 events/day·2.5k days."""
+    from ._shared import _events
+    ds = _events(sf_dir, columns=["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"event_type": b["event_type"]
+                          .to_numpy(object),
+                          "day": b["ts"].dt.normalize().to_numpy()})
+        g = d.groupby(["event_type", "day"], as_index=False).agg(
+            n=("day", "size"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    grid = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "day"], ["n"])
+    if grid.empty:
+        return pd.DataFrame({
+            "event_type": np.array([], object),
+            "change_day": np.array([], "datetime64[us]"),
+            "max_abs_cusum": np.array([], np.int64),
+            "n_days": np.array([], np.int64)})
+    grid = grid.sort_values(["event_type", "day"], kind="mergesort")
+    tot = grid.groupby("event_type", as_index=False).agg(
+        total=("n", "sum"), nd=("n", "size"))
+    m = grid.merge(tot, on="event_type")
+    m["dev"] = (m["n"].to_numpy(np.int64) * m["nd"].to_numpy(np.int64)
+                - m["total"].to_numpy(np.int64))
+    m["s"] = m.groupby("event_type")["dev"].cumsum()
+    m["a"] = m["s"].abs()
+    # argmax |S| per stream, earliest day on ties: rows are
+    # day-sorted, so a stable max-idx pick matches ROW_NUMBER's order
+    m = m.sort_values(["event_type", "a", "day"],
+                      ascending=[True, False, True], kind="mergesort")
+    top = m.groupby("event_type", as_index=False).head(1)
+    return pd.DataFrame({
+        "event_type": top["event_type"].to_numpy(object),
+        "change_day": top["day"].to_numpy(),
+        "max_abs_cusum": top["a"].to_numpy(np.int64),
+        "n_days": top["nd"].to_numpy(np.int64)}) \
+        .sort_values("event_type", kind="mergesort") \
+        .reset_index(drop=True)
