@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "q11_important_parts", "q12_priority_census",
     "q20_dominant_suppliers", "q21_waiting_suppliers",
     "part_pagerank", "item_cosine_sim", "volume_changepoint",
+    "seq3_mining",
 ]
 
 

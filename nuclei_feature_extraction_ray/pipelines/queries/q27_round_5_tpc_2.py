@@ -5,9 +5,10 @@
 # notes in q26_round_5_tpc.py).
 from __future__ import annotations
 
-from ._shared import (ORACLE, QUERIES, _combine_partials, _path,
-                      _read_dim, _sorted_member, datetime, np, pa,
-                      partition_map, pc, pd, ray, rd, register)
+from ._shared import (EVENTS_P, ORACLE, QUERIES, _EVW,
+                      _combine_partials, _path, _read_dim,
+                      _sorted_member, datetime, np, pa, partition_map,
+                      pc, pd, ray, rd, register)
 
 _Q12_HI = ("1-URGENT", "2-HIGH")
 
@@ -647,4 +648,69 @@ def volume_changepoint(sf_dir: str):
         "max_abs_cusum": top["a"].to_numpy(np.int64),
         "n_days": top["nd"].to_numpy(np.int64)}) \
         .sort_values("event_type", kind="mergesort") \
+        .reset_index(drop=True)
+
+
+@register("seq3_mining", sql="""
+    WITH s AS (SELECT user_id, event_type AS e1,
+                      lead(event_type, 1) OVER ({w}) AS e2,
+                      lead(event_type, 2) OVER ({w}) AS e3
+               FROM events)
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3 LIMIT 50""".format(w=_EVW))
+def seq3_mining(sf_dir: str):
+    """Length-3 sequential pattern mining (prefixspan-lite): the most
+    frequent consecutive event-type trigrams across user streams,
+    with per-pattern distinct-user support — the sequence census
+    behind funnel discovery and next-action features (extends
+    event_transitions' bigram Markov matrix one order up).
+
+    Scale plan: trigrams are formed INSIDE the one user_id exchange's
+    sorted partitions (two shifted compares against segment codes, no
+    cross-partition state); because every user lives in exactly ONE
+    partition, per-partition distinct-user counts are additive, so
+    each partition pre-aggregates to the tiny types^3 grid and the
+    driver combine is types^3 x partitions rows."""
+    from ...stages.window import segment_codes
+    from ._shared import _COMBINE_MAX_ROWS, _events, partitioned_apply
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"e1": pd.Series(dtype=object),
+                              "e2": pd.Series(dtype=object),
+                              "e3": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64),
+                              "n_users": pd.Series(dtype=np.int64)})
+        if len(g) < 3:
+            return empty
+        codes = segment_codes(g["user_id"].to_numpy())
+        et = g["event_type"].to_numpy(object)
+        uid = g["user_id"].to_numpy(np.int64)
+        same = (codes[2:] == codes[:-2])
+        if not same.any():
+            return empty
+        d = pd.DataFrame({"e1": et[:-2][same], "e2": et[1:-1][same],
+                          "e3": et[2:][same], "uid": uid[:-2][same]})
+        c = d.groupby(["e1", "e2", "e3"], as_index=False).agg(
+            n=("uid", "size"), n_users=("uid", "nunique"))
+        c["n"] = c["n"].astype(np.int64)
+        c["n_users"] = c["n_users"].astype(np.int64)
+        return c
+
+    parts = partitioned_apply(ds, "user_id", fn, EVENTS_P,
+                              sort_cols=["user_id", "ts", "event_id"]) \
+        .limit(_COMBINE_MAX_ROWS + 1).to_pandas()
+    if len(parts) > _COMBINE_MAX_ROWS:
+        raise ValueError("seq3_mining: trigram grid too large for "
+                         "the driver combine")
+    out = parts.groupby(["e1", "e2", "e3"], as_index=False).agg(
+        n=("n", "sum"), n_users=("n_users", "sum"))
+    out["n"] = out["n"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["n", "e1", "e2", "e3"],
+                           ascending=[False, True, True, True],
+                           kind="mergesort").head(50) \
         .reset_index(drop=True)
