@@ -714,3 +714,80 @@ def seq3_mining(sf_dir: str):
                            ascending=[False, True, True, True],
                            kind="mergesort").head(50) \
         .reset_index(drop=True)
+
+
+def _frames_sql() -> str:
+    """Recomputed oracle for ``multimodal_frames`` (the _resize_sql
+    pattern): the fake video wraps the first 1024 text bytes as
+    t = nb//64 frames of 16x4; FrameSample(stride=2) emits every even
+    frame; the per-frame byte sum is exact-int in both engines. Byte
+    access is hex(encode(text)) two-chars-at-a-time."""
+    return """
+    WITH raw AS (
+      SELECT doc_id, substring(hex(encode(text)), 1, 2048) AS hx,
+             least(octet_length(encode(text)), 1024) AS nb
+      FROM documents
+    ), vid AS (
+      SELECT doc_id, hx, nb // 64 AS t FROM raw WHERE nb >= 64
+    ), fr AS (
+      SELECT doc_id, hx, unnest(range(0, t, 2)) AS frame_idx FROM vid
+    ), px AS (
+      SELECT doc_id, frame_idx,
+             CAST('0x' || substring(
+                 hx, 2 * (frame_idx * 64 + i.i) + 1, 2)
+               AS INTEGER) AS v
+      FROM fr, (SELECT unnest(range(64)) AS i) i
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(64 AS BIGINT) AS n_frame_bytes,
+           CAST(sum(v) AS BIGINT) AS frame_sum
+    FROM px GROUP BY doc_id, frame_idx
+    ORDER BY doc_id, frame_idx"""
+
+
+@register("multimodal_frames", sql=_frames_sql())
+def multimodal_frames(sf_dir: str):
+    """Video frame-sampling plumbing over the fake container format
+    (stages/multimodal.FrameSample): per-doc 'video' built from the
+    first 1024 text bytes as 16x4 frames, every 2nd frame sampled by
+    the actor-pool stage (flat-map row explosion: one output row per
+    sampled frame, small batch_size for big payloads — exactly the
+    shape an AV-codec-backed sampler uses; codec stubbed, PIL tier
+    available via real_codec). Each sampled frame is then reduced to
+    an exact integer byte sum so the whole explode is DuckDB-oracled.
+    Scale plan: map-only end to end — wrap, sample, and reduce are all
+    row-local actor-pool stages; the sort is the only exchange and
+    exists for the deterministic compare."""
+    from ...stages.multimodal import (HEADER_BYTES, FrameSample,
+                                      make_payload)
+    ds = rd.read_parquet(_path(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch["text"].to_pylist():
+            b = t.encode()[:1024]
+            nf = len(b) // 64
+            payloads.append(
+                make_payload(b[:nf * 64], width=16, height=4)
+                if nf else None)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    sampled = ds.map_batches(wrap, batch_format="pyarrow") \
+        .map_batches(FrameSample, batch_format="pyarrow",
+                     batch_size=256, concurrency=2)
+
+    def stat(batch: pa.Table) -> pa.Table:
+        sums = [int(np.frombuffer(f, np.uint8,
+                                  offset=HEADER_BYTES).sum())
+                for f in batch["frame"].to_pylist()]
+        n = batch.num_rows
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "frame_idx": batch["frame_idx"],
+            "n_frame_bytes": pa.array([64] * n, pa.int64()),
+            "frame_sum": pa.array(sums, pa.int64())})
+
+    return sampled.map_batches(stat, batch_format="pyarrow") \
+        .sort(["doc_id", "frame_idx"])
