@@ -107,7 +107,16 @@ BENCH_QUERIES = [
     "q11_important_parts", "q12_priority_census",
     "q20_dominant_suppliers", "q21_waiting_suppliers",
     "part_pagerank", "item_cosine_sim", "volume_changepoint",
-    "seq3_mining",
+    "seq3_mining", "multimodal_frames",
+    # previously-unbenched registry entries (the pages_* flagship
+    # family stays out: the headline run IS its benchmark; the five
+    # quadratic exact-Jaccard oracle twins stay out as documented
+    # above)
+    "asof_quote_tol", "corpus_profile", "custkey_distinct_hll_md5",
+    "decontaminate_bloom_md5", "decontaminate_semantic", "doc_entropy",
+    "doc_fingerprint_md5", "doc_sample", "lang_quantiles_approx",
+    "minhash_pairs_md5", "pii_redact", "returned_customers",
+    "simhash_pairs_md5", "token_budget", "vocab_heavy_md5",
 ]
 
 

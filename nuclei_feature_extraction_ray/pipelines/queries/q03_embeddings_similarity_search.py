@@ -64,11 +64,21 @@ def _bpe_learn(vocab: pd.DataFrame, rounds: int) -> pd.DataFrame:
         "n": np.asarray(out["n"], np.int64)})
 
 
-@register("bpe_merges")   # iterative -> pytest reference oracle
+@register("bpe_merges", sql="""
+    SELECT "rank", "left", "right", n
+    FROM read_parquet('/root/repo/goldens/bpe_merges_sf0_01.parquet')
+    ORDER BY "rank" """)
 def bpe_merges(sf_dir: str):
     """BPE tokenizer TRAINING: the top merge rules learned from the
     corpus (rank, left, right, weighted pair count) — the workload
     that turns a raw corpus into a subword vocabulary.
+
+    The merge loop is iterative (not SQL-expressible), so the driver
+    oracle is a STORED GOLDEN pinned to the driver's correctness scale
+    (sf0.01): tools/gen_bpe_golden.py recomputes the merge table
+    independently of this engine (DuckDB vocabulary SQL + a plain
+    Counter/sorted merge loop) and the oracle reads the resulting
+    parquet — the embedding_pca golden pattern.
 
     Scale plan: phase A is the corpus-scale pass — per-batch (token,
     count) partials, ONE token exchange, and a guarded vocab pull

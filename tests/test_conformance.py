@@ -50,10 +50,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_query_matches_oracle(name, sf_small):
-    if name == "embedding_pca":
+    if name in ("embedding_pca", "bpe_merges"):
         pytest.skip("stored golden is pinned to sf0.01 (the driver's "
                     "correctness scale) — checked by "
-                    "test_embedding_pca_matches_stored_golden")
+                    "test_stored_golden_queries_match_at_sf001")
     got = canon(to_pandas(QUERIES[name](sf_small)))
     want = canon(run_oracle(sf_small, ORACLE[name]))
     assert list(got.columns) == list(want.columns), (
@@ -72,17 +72,18 @@ def test_rows_only_queries_run_and_are_deterministic(name, sf_small):
     assert sorted(a.columns) == sorted(b.columns)
 
 
-def test_embedding_pca_matches_stored_golden():
-    """The embedding_pca oracle is a STORED GOLDEN from an
-    engine-independent generator (tools/gen_pca_golden.py), pinned to
-    sf0.01 — the scale the driver compares at. Verify the engine
-    against it there."""
+@pytest.mark.parametrize("name", ["embedding_pca", "bpe_merges"])
+def test_stored_golden_queries_match_at_sf001(name):
+    """These oracles are STORED GOLDENS from engine-independent
+    generators (tools/gen_pca_golden.py, tools/gen_bpe_golden.py),
+    pinned to sf0.01 — the scale the driver compares at. Verify the
+    engine against them there."""
     sf = "/root/testdata/sf0.01"
     import os
     if not os.path.isdir(sf):
         pytest.skip("sf0.01 testdata not present")
-    got = canon(to_pandas(QUERIES["embedding_pca"](sf)))
-    want = canon(run_oracle(sf, ORACLE["embedding_pca"]))
+    got = canon(to_pandas(QUERIES[name](sf)))
+    want = canon(run_oracle(sf, ORACLE[name]))
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=False, rtol=0, atol=1e-9)
 
