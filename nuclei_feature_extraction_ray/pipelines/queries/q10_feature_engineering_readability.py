@@ -110,6 +110,102 @@ def _basket_edges(sf_dir: str, grain=None):
     return partition_map(per_order, ["part_a", "part_b"], support, 16)
 
 
+def _basket_fused(sf_dir: str):
+    """ONE orderkey exchange feeding the whole basket family: returns
+    ``(edges_ds, marg_df, n_orders)`` — the support-filtered pair
+    edges, the per-part distinct-order marginals (part-dimension
+    pandas frame, sorted by l_partkey), and the global distinct-order
+    count. After the orderkey exchange every order is whole and
+    partition-local, so all three are computable in the SAME
+    per-partition pass: pair partials (C(order_size,2) enumeration),
+    marginal partials (distinct orders containing each part — additive
+    because orders never span partitions), and the distinct-order
+    count (additive for the same reason). basket_lift previously paid
+    two extra full-grain exchanges for the marginals and the count;
+    here they ride the pair exchange as dimension-sized tagged rows.
+    The tagged output is materialized once and split by kind with
+    zero-copy Arrow filters; only the pair partials take a second
+    (pair-keyed) exchange, and the marginal partials one
+    dimension-sized partkey exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    grain = _basket_grain(sf_dir)
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        c = m.groupby(["l_partkey_x", "l_partkey_y"],
+                      as_index=False).agg(n=("l_orderkey", "size"))
+        mc = g.groupby("l_partkey", as_index=False).agg(
+            n=("l_orderkey", "size"))
+        return pd.concat([
+            pd.DataFrame({
+                "kind": np.zeros(len(c), np.int8),
+                "a": c["l_partkey_x"].to_numpy(np.int64),
+                "b": c["l_partkey_y"].to_numpy(np.int64),
+                "n": c["n"].to_numpy(np.int64)}),
+            pd.DataFrame({
+                "kind": np.ones(len(mc), np.int8),
+                "a": mc["l_partkey"].to_numpy(np.int64),
+                "b": np.zeros(len(mc), np.int64),
+                "n": mc["n"].to_numpy(np.int64)}),
+            pd.DataFrame({
+                "kind": np.full(1, 2, np.int8),
+                "a": np.zeros(1, np.int64),
+                "b": np.zeros(1, np.int64),
+                "n": np.array([g["l_orderkey"].nunique()],
+                              np.int64)}),
+        ], ignore_index=True)
+
+    tagged = partitioned_apply(grain, "l_orderkey", per_order,
+                               16).materialize()
+
+    def _only(kind: int, rename: dict[str, str]):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["kind"], kind))
+            t = t.drop_columns(
+                ["kind"] + [c for c in ("a", "b")
+                            if c not in rename])
+            return t.rename_columns(
+                [rename.get(c, c) for c in t.column_names])
+        return f
+
+    def support(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["part_a", "part_b"], as_index=False)["n"].sum()
+        t = t[t["n"] >= _BASKET_MIN_SUPPORT]
+        return pd.DataFrame({
+            "part_a": t["part_a"].to_numpy(np.int64),
+            "part_b": t["part_b"].to_numpy(np.int64),
+            "n_orders": t["n"].to_numpy(np.int64)})
+
+    edges = partition_map(
+        tagged.map_batches(_only(0, {"a": "part_a", "b": "part_b"}),
+                           batch_format="pyarrow"),
+        ["part_a", "part_b"], support, 16)
+
+    def marg_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_partkey", as_index=False)["n"].sum()
+        return out.astype({"l_partkey": np.int64, "n": np.int64})
+
+    marg = partition_map(
+        tagged.map_batches(_only(1, {"a": "l_partkey"}),
+                           batch_format="pyarrow"),
+        ["l_partkey"], marg_sum, 16).to_pandas()
+    if len(marg) > 20_000_000:
+        raise ValueError(
+            "_basket_fused: part dimension too large to broadcast "
+            "(%d rows); shard the lift/similarity attach by part-key "
+            "join instead" % len(marg))
+    marg = marg.sort_values("l_partkey", kind="mergesort",
+                            ignore_index=True)
+
+    n_orders = int(tagged.map_batches(
+        _only(2, {}), batch_format="pyarrow").to_pandas()["n"].sum())
+    return edges, marg, n_orders
+
+
 @register("basket_pairs", sql="""
     WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
     SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

@@ -2,7 +2,6 @@
 from __future__ import annotations
 
 from ._shared import (EVENTS_P, JACCARD_NGRAM, JACCARD_TAU, ORACLE, _combine_partials, _events, _path, dedup_mod, np, pa, partition_map, partitioned_apply, pd, rd, register)
-from .q10_feature_engineering_readability import (_basket_edges, _basket_grain)
 
 @register("dedup_survivor", sql="""
     WITH RECURSIVE pairs AS MATERIALIZED (
@@ -117,63 +116,19 @@ def basket_lift(sf_dir: str):
     """Association-rule LIFT over the co-order pairs: lift =
     P(a,b) / (P(a)·P(b)) — how much more often two parts co-occur
     than independence predicts (support alone favors popular items;
-    lift finds genuine affinity). ONE lineitem scan: the
-    batch-distinct grain is materialized once and feeds all three
-    consumers (edge pipeline, per-part marginals, distinct-order
-    count) — previously the edges and the marginals each re-scanned
-    lineitem. Marginals are a dimension-sized exchange result pulled
-    under the combine guard and broadcast as a sorted array; the
-    distinct-order count folds per partition. Lift = exact-int
-    cross-product ratio, one double division per pair."""
-    grain = _basket_grain(sf_dir).materialize()
-    edges = _basket_edges(sf_dir, grain=grain).materialize()
-
-    def marg_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
-        c = g.groupby("l_partkey", as_index=False).agg(
-            n=("l_orderkey", "size"))
-        # distinct orders seen in this key-partition of parts is NOT
-        # the global order count; count orders separately below.
-        return c.astype({"l_partkey": np.int64, "n": np.int64})
-
-    def marg_sum(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("l_partkey", as_index=False).agg(
-            n=("n", "sum"))
-        return out.astype({"l_partkey": np.int64, "n": np.int64})
-
-    # fold the per-partition partials to TRUE partkey grain with one
-    # partkey exchange BEFORE the driver pull: the r5 sf1 stress run
-    # tripped the 1M-row combine guard on keys x partitions partial
-    # rows; after the exchange the pull is the part DIMENSION itself
-    # (the documented broadcast-side bound, guarded below).
-    marg = partition_map(
-        partition_map(grain, ["l_orderkey", "l_partkey"],
-                      marg_part, 16),
-        ["l_partkey"], marg_sum, 16).to_pandas()
-    if len(marg) > 20_000_000:
-        raise ValueError(
-            "basket_lift: part dimension too large to broadcast "
-            "(%d rows); shard add_lift by part-key join instead"
-            % len(marg))
+    lift finds genuine affinity). ONE lineitem scan AND one
+    full-grain exchange: `_basket_fused` computes the pair partials,
+    the per-part marginals and the distinct-order count in the SAME
+    orderkey-exchange pass (marginals and the count are
+    partition-additive there because orders never span partitions) —
+    previously the marginals and the count each paid their own
+    full-grain exchange. Marginals are a dimension-sized frame
+    broadcast as a sorted array (guarded in the helper). Lift =
+    exact-int cross-product ratio, one double division per pair."""
+    from .q10_feature_engineering_readability import _basket_fused
+    edges, marg, n_orders = _basket_fused(sf_dir)
     mk = marg["l_partkey"].to_numpy(np.int64)
-    mo = np.argsort(mk)
-    mk = mk[mo]
-    mn = marg["n"].to_numpy(np.int64)[mo]
-
-    def order_keys(b: pd.DataFrame) -> pd.DataFrame:
-        k = np.unique(b["l_orderkey"].to_numpy(np.int64))
-        return pd.DataFrame({"key": k})
-
-    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "k": np.zeros(1, np.int64),
-            "n": [np.int64(g["key"].nunique())]})
-
-    n_orders = int(_combine_partials(
-        partition_map(grain.map_batches(order_keys,
-                                        batch_format="pandas"),
-                      ["key"], count_distinct, 16),
-        ["k"], ["n"])["n"].iloc[0])
+    mn = marg["n"].to_numpy(np.int64)
 
     def add_lift(b: pd.DataFrame) -> pd.DataFrame:
         pa = b["part_a"].to_numpy(np.int64)

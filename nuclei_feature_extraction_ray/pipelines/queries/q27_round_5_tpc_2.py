@@ -520,31 +520,19 @@ def part_pagerank(sf_dir: str):
 def item_cosine_sim(sf_dir: str):
     """Item-item cosine similarity from co-purchase counts
     (sim = n_ab / sqrt(n_a · n_b)) — the classic neighborhood
-    recommender / complementary-item feature. Scale plan: the shared
-    basket grain is materialized ONCE and feeds both the per-part
-    order marginals (one partkey exchange, part-dim-bounded pull →
-    broadcast sorted arrays) and the support-filtered pair edges (the
-    shared two-exchange basket machinery); similarity attaches
-    map-side via searchsorted, and top-200 is a bounded per-block
-    partial top-k folded on the driver (blocks × 200 rows), never a
-    full distributed sort. The engine/oracle float is one double
-    division + sqrt over exact integers with a shared
-    half-away-from-zero 1e-6 rounding, so the compare is bit-exact."""
-    from .q10_feature_engineering_readability import (_basket_edges,
-                                                      _basket_grain)
-    grain = _basket_grain(sf_dir).materialize()
-
-    def marg_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
-        c = g.groupby("l_partkey", as_index=False).agg(
-            n=("l_orderkey", "size"))
-        return pd.DataFrame({"l_partkey": c["l_partkey"]
-                             .to_numpy(np.int64),
-                             "n": c["n"].to_numpy(np.int64)})
-
-    marg = partition_map(grain, ["l_partkey"], marg_part,
-                         16).to_pandas()
-    marg = marg.sort_values("l_partkey", kind="mergesort")
+    recommender / complementary-item feature. Scale plan: ONE
+    full-grain (orderkey) exchange — `_basket_fused` computes the
+    pair partials AND the per-part distinct-order marginals in the
+    same per-partition pass (marginals are partition-additive there
+    because orders never span partitions); similarity attaches
+    map-side via searchsorted over the broadcast sorted marginal
+    arrays, and top-200 is a bounded per-block partial top-k folded
+    on the driver (blocks × 200 rows), never a full distributed
+    sort. The engine/oracle float is one double division + sqrt over
+    exact integers with a shared half-away-from-zero 1e-6 rounding,
+    so the compare is bit-exact."""
+    from .q10_feature_engineering_readability import _basket_fused
+    edges, marg, _ = _basket_fused(sf_dir)
     mk = marg["l_partkey"].to_numpy(np.int64)
     mn = marg["n"].to_numpy(np.int64)
     m_ref = ray.put((mk, mn))
@@ -568,8 +556,8 @@ def item_cosine_sim(sf_dir: str):
                              ascending=[False, True, True],
                              kind="mergesort").head(K)
 
-    out = _basket_edges(sf_dir, grain=grain) \
-        .map_batches(score, batch_format="pandas").to_pandas()
+    out = edges.map_batches(score,
+                            batch_format="pandas").to_pandas()
     return out.sort_values(["cosine_sim", "part_a", "part_b"],
                            ascending=[False, True, True],
                            kind="mergesort").head(K) \
