@@ -431,6 +431,9 @@ def _pagerank_sql(iters: int = 3) -> str:
 
 
 _PAGERANK_ITERS = 3
+# driver-fold tier bound (mirrors stages/graph.py max_driver_edges);
+# module-level so tests can force the distributed per-iteration path
+_PAGERANK_DRIVER_EDGES = 5_000_000
 
 
 @register("part_pagerank", sql=_pagerank_sql(_PAGERANK_ITERS))
@@ -449,8 +452,42 @@ def part_pagerank(sf_dir: str):
     part-dim-sized, the same class _read_dim already guards) followed
     by a node-keyed partition exchange to fold contribution partials;
     the driver holds only the part-dim-bounded rank vector. Top-100
-    by rank is the bounded result."""
+    by rank is the bounded result. Fast tier: the support-filtered
+    co-purchase graph is EDGE-dim sized (thousands of pairs at
+    sf0.1), so up to the repo's documented 5M-edge driver bound
+    (stages/graph.py `max_driver_edges` — the same policy
+    entity_clusters uses) the edge list is pulled once and the
+    iterations run as pure numpy folds — zero per-iteration
+    exchanges; above the bound the distributed per-iteration
+    exchange loop below takes over unchanged."""
     edges2 = _basket_edges_sym(sf_dir).materialize()
+
+    if edges2.count() <= _PAGERANK_DRIVER_EDGES:
+        e = edges2.to_pandas()
+        if e.empty:
+            return pd.DataFrame({
+                "p_partkey": np.array([], np.int64),
+                "degree": np.array([], np.int64),
+                "rank_micro": np.array([], np.int64)})
+        src = e["src"].to_numpy(np.int64)
+        dst = e["dst"].to_numpy(np.int64)
+        # every node of the sym edge list appears as a src, so the
+        # src uniques ARE the node set
+        knodes, inv = np.unique(src, return_inverse=True)
+        degs = np.bincount(inv).astype(np.int64)
+        j = np.searchsorted(knodes, dst)
+        ranks = np.full(len(knodes), 1_000_000, np.int64)
+        for _ in range(_PAGERANK_ITERS):
+            c = ranks[inv] // degs[inv]
+            s = np.zeros(len(knodes), np.int64)
+            np.add.at(s, j, c)
+            ranks = 150_000 + (85 * s) // 100
+        out = pd.DataFrame({"p_partkey": knodes, "degree": degs,
+                            "rank_micro": ranks})
+        out = out.sort_values(["rank_micro", "p_partkey"],
+                              ascending=[False, True],
+                              kind="mergesort").head(100)
+        return out.reset_index(drop=True)
 
     def deg_part(g: pd.DataFrame) -> pd.DataFrame:
         c = g.groupby("src", as_index=False).agg(deg=("dst", "size"))

@@ -72,6 +72,21 @@ def test_rows_only_queries_run_and_are_deterministic(name, sf_small):
     assert sorted(a.columns) == sorted(b.columns)
 
 
+def test_pagerank_distributed_path_matches_driver_tier(
+        sf_small, monkeypatch):
+    """part_pagerank has two tiers: a driver numpy fold under the
+    5M-edge bound and a distributed per-iteration exchange loop above
+    it. Force the distributed tier (bound = -1) and assert it is
+    bit-identical to the driver tier — integer arithmetic, so exact."""
+    from nuclei_feature_extraction_ray.pipelines.queries import \
+        q27_round_5_tpc_2 as q27
+    fast = to_pandas(QUERIES["part_pagerank"](sf_small))
+    monkeypatch.setattr(q27, "_PAGERANK_DRIVER_EDGES", -1)
+    dist = to_pandas(QUERIES["part_pagerank"](sf_small))
+    pd.testing.assert_frame_equal(canon(fast), canon(dist),
+                                  check_dtype=True)
+
+
 @pytest.mark.parametrize("name", ["embedding_pca", "bpe_merges"])
 def test_stored_golden_queries_match_at_sf001(name):
     """These oracles are STORED GOLDENS from engine-independent
