@@ -117,6 +117,7 @@ def test_stored_golden_queries_match_at_sf001(name):
     ("boilerplate_strip", "boilerplate_strip_sql"),
     ("url_versions", "url_versions_sql"),
     ("trending_terms", "trending_terms_sql"),
+    ("pages_markup_census", "pages_markup_census_sql"),
 ])
 def test_flagship_matches_oracle(name, sql_fn, sf_small):
     """VERDICT r2 #1: the flagship pages pipeline's SQL-expressible
