@@ -507,7 +507,7 @@ _DYNAMIC_ORACLED = frozenset([
     "pages_probes_core", "pages_domains", "pages_latest",
     "pages_domain_cap", "pages_drift", "line_dedup",
     "pages_url_features", "boilerplate_strip", "url_versions",
-    "trending_terms", "pages_markup_census"])
+    "trending_terms", "pages_markup_census", "pages_titles"])
 
 
 def _export_order() -> list[str]:
@@ -545,4 +545,6 @@ def all_oracle_sql() -> dict[str, str]:
     out["trending_terms"] = trending_terms_sql("t2")
     from .q28_session2_additions import pages_markup_census_sql
     out["pages_markup_census"] = pages_markup_census_sql("t2")
+    from .q29_session2_additions_2 import pages_titles_sql
+    out["pages_titles"] = pages_titles_sql("t2")
     return out
