@@ -117,6 +117,14 @@ BENCH_QUERIES = [
     "doc_fingerprint_md5", "doc_sample", "lang_quantiles_approx",
     "minhash_pairs_md5", "pii_redact", "returned_customers",
     "simhash_pairs_md5", "token_budget", "vocab_heavy_md5",
+    # round-5 session-2 additions (jaccard_prefix excluded: exact
+    # AllPairs verification is quadratic in near-dup cluster size,
+    # same as jaccard_pairs; its sweep at sf0.1 is recorded instead)
+    "weighted_median", "lang_source_mi", "vocab_jaccard_langs",
+    "user_path_census", "nation_top2_gap", "pages_markup_census",
+    "shard_balance", "value_psi", "best_split_value",
+    "lang_top_terms", "pages_titles", "rolling_extrema_time",
+    "twap_value", "bloom_semi_join", "xcorr_lag",
 ]
 
 

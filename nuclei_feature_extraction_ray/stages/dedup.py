@@ -245,6 +245,151 @@ def containment_pairs(ds, text_col: str, id_col: str, ngram: int = 2,
                           num_partitions, score_part)
 
 
+def jaccard_pairs_prefix(ds, text_col: str, id_col: str, ngram: int = 2,
+                         threshold: float = 0.5,
+                         num_partitions: int = 16):
+    """AllPairs/PPJoin-style PREFIX-FILTERED exact Jaccard pairs
+    (Chaudhuri et al. ICDE 2006; Bayardo et al. WWW 2007): identical
+    result set to ``jaccard_pairs`` at the same threshold, but the
+    pair enumeration runs only over each document's PREFIX — its
+    ``|d| - ceil(t*|d|) + 1`` rarest shingles under the global
+    (df asc, shingle) total order. Any pair with Jaccard >= t shares
+    its globally-smallest common shingle inside BOTH prefixes (the
+    standard bound), so candidate generation is complete; hot
+    stop-shingles sort LAST and drop out of every prefix — the skew
+    guard ``max_df`` hand-tunes in ``jaccard_pairs`` falls out of the
+    ordering here.
+
+    Plan (all bounded exchanges, nothing on the driver):
+      1. posting explode (shared ``_posting_explode``);
+      2. shingle exchange: attach exact global df (a shingle's rows
+         co-locate, so ``transform('size')`` IS the global count);
+      3. doc exchange: per-doc (df, shingle) sort -> keep the prefix;
+      4. shingle exchange over prefixes: candidate (a < b) pairs;
+      5. verify: two key exchanges attach each doc's FULL sorted
+         shingle set (packed int64 blob) to its candidate pairs —
+         first by a, then by b — and one ``np.intersect1d`` per
+         surviving candidate scores exact Jaccard. Candidates are
+         near-dup-sparse by construction; docs without candidates
+         still ship one blob per round (a semi-join prefilter would
+         drop them at extreme scale).
+    """
+    post = ds.select_columns([text_col, id_col]).map_batches(
+        _posting_explode(text_col, id_col, ngram),
+        batch_format="pyarrow")
+
+    def df_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = g.groupby("shingle")["doc"].transform("size") \
+            .astype(np.int64)
+        return g
+
+    wdf = partition_map(post, ["shingle"], df_part, num_partitions)
+
+    def prefix_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc", "df", "shingle"], kind="mergesort")
+        pos = g.groupby("doc", sort=False).cumcount().to_numpy()
+        size = g["size"].to_numpy(np.int64)
+        plen = size - np.ceil(threshold * size).astype(np.int64) + 1
+        return g.loc[pos < plen, ["shingle", "doc"]]
+
+    pre = partition_map(wdf, ["doc"], prefix_part, num_partitions)
+
+    def cand_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shingle", "doc"], kind="mergesort")
+        sh = g["shingle"].to_numpy()
+        d = g["doc"].to_numpy()
+        starts, ends = _segment_pairs(sh)
+        out_a, out_b = [], []
+        for st, en in zip(starts, ends):
+            m = en - st
+            if m < 2:
+                continue
+            i, j = np.triu_indices(m, k=1)
+            out_a.append(d[st + i])
+            out_b.append(d[st + j])
+        if not out_a:
+            return _empty(_EMPTY_PAIRS)
+        return pd.DataFrame({
+            "a": np.concatenate(out_a),
+            "b": np.concatenate(out_b)}).drop_duplicates()
+
+    cand = partition_map(pre, ["shingle"], cand_part, num_partitions)
+
+    def docset_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc", "shingle"], kind="mergesort")
+        d = g["doc"].to_numpy()
+        sh = g["shingle"].to_numpy(np.int64)
+        starts, ends = _segment_pairs(d)
+        return pd.DataFrame({
+            "k": d[starts].astype(np.int64),
+            "other": np.full(len(starts), -1, np.int64),
+            "blob": [sh[s:e].tobytes()
+                     for s, e in zip(starts, ends)],
+            "side": np.ones(len(starts), np.int64)})
+
+    sets = partition_map(post, ["doc"], docset_part,
+                         num_partitions).materialize()
+
+    def pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": b["a"].to_numpy(np.int64),
+            "other": b["b"].to_numpy(np.int64),
+            "blob": np.full(len(b), b"", object),
+            "side": np.zeros(len(b), np.int64)})
+
+    _SCHEMA1 = {"k": np.int64, "other": np.int64,
+                "blob": object, "side": np.int64}
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        bl = g.loc[side == 1].set_index("k")["blob"]
+        p = g[side == 0]
+        if p.empty:
+            return _empty(_SCHEMA1)
+        # the same candidate can surface from several shingle
+        # partitions; all copies of (a, b) co-locate here (keyed by a)
+        p = p.drop_duplicates(["k", "other"])
+        return pd.DataFrame({
+            "k": p["other"].to_numpy(np.int64),
+            "other": p["k"].to_numpy(np.int64),
+            "blob": p["k"].map(bl).to_numpy(object),
+            "side": np.zeros(len(p), np.int64)})
+
+    r1 = partition_map(
+        cand.map_batches(pair_rows, batch_format="pandas").union(sets),
+        ["k"], attach_a, num_partitions)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        bl = g.loc[side == 1].set_index("k")["blob"]
+        p = g[side == 0]
+        if p.empty:
+            return _empty({"a": np.int64, "b": np.int64,
+                           "jaccard": np.float64})
+        blob_b = p["k"].map(bl).to_numpy(object)
+        a_ids = p["other"].to_numpy(np.int64)
+        b_ids = p["k"].to_numpy(np.int64)
+        rows_a, rows_b, rows_j = [], [], []
+        for aid, bid, ba, bb in zip(a_ids, b_ids,
+                                    p["blob"].to_numpy(object),
+                                    blob_b):
+            sa = np.frombuffer(ba, np.int64)
+            sb = np.frombuffer(bb, np.int64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            if union and inter / union >= threshold:
+                rows_a.append(aid)
+                rows_b.append(bid)
+                rows_j.append(inter / union)
+        return pd.DataFrame({
+            "a": np.asarray(rows_a, np.int64),
+            "b": np.asarray(rows_b, np.int64),
+            "jaccard": np.asarray(rows_j, np.float64)})
+
+    return partition_map(r1.union(sets), ["k"], score, num_partitions)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (approximate near-dup at scale)
 # ---------------------------------------------------------------------------
