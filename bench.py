@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "shard_balance", "value_psi", "best_split_value",
     "lang_top_terms", "pages_titles", "rolling_extrema_time",
     "twap_value", "bloom_semi_join", "xcorr_lag",
+    "gram_novelty", "lang_kappa", "mutual_nn", "name_typo_pairs",
 ]
 
 
