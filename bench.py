@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "lang_top_terms", "pages_titles", "rolling_extrema_time",
     "twap_value", "bloom_semi_join", "xcorr_lag",
     "gram_novelty", "lang_kappa", "mutual_nn", "name_typo_pairs",
+    "supplier_skyline", "linear_attribution", "resample_locf",
 ]
 
 
