@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "twap_value", "bloom_semi_join", "xcorr_lag",
     "gram_novelty", "lang_kappa", "mutual_nn", "name_typo_pairs",
     "supplier_skyline", "linear_attribution", "resample_locf",
+    "spearman_qty_discount", "kendall_tau_b", "title_text_overlap",
 ]
 
 

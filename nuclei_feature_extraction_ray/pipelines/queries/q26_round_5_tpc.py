@@ -507,7 +507,8 @@ _DYNAMIC_ORACLED = frozenset([
     "pages_probes_core", "pages_domains", "pages_latest",
     "pages_domain_cap", "pages_drift", "line_dedup",
     "pages_url_features", "boilerplate_strip", "url_versions",
-    "trending_terms", "pages_markup_census", "pages_titles"])
+    "trending_terms", "pages_markup_census", "pages_titles",
+    "title_text_overlap"])
 
 
 def _export_order() -> list[str]:
@@ -547,4 +548,6 @@ def all_oracle_sql() -> dict[str, str]:
     out["pages_markup_census"] = pages_markup_census_sql("t2")
     from .q29_session2_additions_2 import pages_titles_sql
     out["pages_titles"] = pages_titles_sql("t2")
+    from .q33_session2_additions_6 import title_text_overlap_sql
+    out["title_text_overlap"] = title_text_overlap_sql("t2")
     return out
