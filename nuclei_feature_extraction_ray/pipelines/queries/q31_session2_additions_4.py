@@ -9,7 +9,7 @@ from ._shared import (ORACLE, QUERIES, _combine_partials, _path, np,
                       pa, partition_map, pc, pd, ray, rd, register)
 from ...functions.hashing import gram_strings_flat, md5_upper64_flat
 from ...functions.texture import _sql_r6
-from ...stages.dedup import _empty, _segment_pairs
+from ...stages.dedup import _empty, segment_all_pairs
 
 #: gram_novelty: word n-gram order (same 3-gram family as the
 #: decontamination ops)
@@ -315,22 +315,12 @@ def name_typo_pairs(sf_dir: str):
 
     def cand_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["variant", "name"], kind="mergesort")
-        v = g["variant"].to_numpy(object)
         nm = g["name"].to_numpy(object)
-        starts, ends = _segment_pairs(v)
-        out_a, out_b = [], []
-        for st, en in zip(starts, ends):
-            m = en - st
-            if m < 2:
-                continue
-            i, j = np.triu_indices(m, k=1)
-            out_a.append(nm[st + i])
-            out_b.append(nm[st + j])
-        if not out_a:
+        i, j = segment_all_pairs(g["variant"].to_numpy(object))
+        if not len(i):
             return _empty({"a": object, "b": object})
-        return pd.DataFrame({
-            "a": np.concatenate(out_a),
-            "b": np.concatenate(out_b)}).drop_duplicates()
+        return pd.DataFrame({"a": nm[i],
+                             "b": nm[j]}).drop_duplicates()
 
     cand = partition_map(post, ["variant"], cand_part, 16)
 

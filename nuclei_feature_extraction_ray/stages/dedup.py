@@ -142,33 +142,52 @@ def _posting_explode(text_col: str, id_col: str, ngram: int):
     return explode
 
 
+def segment_all_pairs(grouped_keys: np.ndarray,
+                      max_seg: int | None = None
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """All within-segment index pairs (i < j by row position) of an
+    array whose equal keys are contiguous — FULLY VECTORIZED (no
+    Python loop over segments, which dominates wall time when a
+    partition holds millions of 2-row posting lists). Row r at
+    segment-relative position p contributes p pairs as the ``j``
+    side, with ``i`` sides r-p .. r-1 (a ragged arange). Segments
+    larger than ``max_seg`` are skipped entirely (the stop-shingle /
+    skew guard)."""
+    n = len(grouped_keys)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts, ends = _segment_pairs(grouped_keys)
+    sizes = ends - starts
+    row_start = np.repeat(starts, sizes)
+    pos = np.arange(n, dtype=np.int64) - row_start
+    if max_seg is not None:
+        pos = np.where(np.repeat(sizes, sizes) > max_seg, 0, pos)
+    total = int(pos.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    b_idx = np.repeat(np.arange(n, dtype=np.int64), pos)
+    off = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(pos) - pos, pos)
+    a_idx = np.repeat(np.arange(n, dtype=np.int64) - pos, pos) + off
+    return a_idx, b_idx
+
+
 def _posting_pairs_part(max_df: int | None):
     """Shared per-partition pair enumeration over grouped posting
     lists: every co-occurring (a < b) doc pair of every shingle's
     posting list, carrying both doc sizes (``max_df`` drops
-    stop-shingles — the skew guard)."""
+    stop-shingles — the skew guard). One vectorized
+    ``segment_all_pairs`` pass — zero per-segment Python."""
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["shingle", "doc"], kind="mergesort")
-        sh = g["shingle"].to_numpy()
         d = g["doc"].to_numpy()
         s = g["size"].to_numpy()
-        starts, ends = _segment_pairs(sh)
-        out_a, out_b, out_sa, out_sb = [], [], [], []
-        for st, en in zip(starts, ends):
-            m = en - st
-            if m < 2 or (max_df is not None and m > max_df):
-                continue
-            i, j = np.triu_indices(m, k=1)
-            out_a.append(d[st + i])
-            out_b.append(d[st + j])
-            out_sa.append(s[st + i])
-            out_sb.append(s[st + j])
-        if not out_a:
+        i, j = segment_all_pairs(g["shingle"].to_numpy(), max_df)
+        if not len(i):
             return _empty({"a": np.int64, "b": np.int64,
                            "sa": np.int64, "sb": np.int64})
-        return pd.DataFrame({
-            "a": np.concatenate(out_a), "b": np.concatenate(out_b),
-            "sa": np.concatenate(out_sa), "sb": np.concatenate(out_sb)})
+        return pd.DataFrame({"a": d[i], "b": d[j],
+                             "sa": s[i], "sb": s[j]})
     return pairs_part
 
 
@@ -297,22 +316,11 @@ def jaccard_pairs_prefix(ds, text_col: str, id_col: str, ngram: int = 2,
 
     def cand_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["shingle", "doc"], kind="mergesort")
-        sh = g["shingle"].to_numpy()
         d = g["doc"].to_numpy()
-        starts, ends = _segment_pairs(sh)
-        out_a, out_b = [], []
-        for st, en in zip(starts, ends):
-            m = en - st
-            if m < 2:
-                continue
-            i, j = np.triu_indices(m, k=1)
-            out_a.append(d[st + i])
-            out_b.append(d[st + j])
-        if not out_a:
+        i, j = segment_all_pairs(g["shingle"].to_numpy())
+        if not len(i):
             return _empty(_EMPTY_PAIRS)
-        return pd.DataFrame({
-            "a": np.concatenate(out_a),
-            "b": np.concatenate(out_b)}).drop_duplicates()
+        return pd.DataFrame({"a": d[i], "b": d[j]}).drop_duplicates()
 
     cand = partition_map(pre, ["shingle"], cand_part, num_partitions)
 
