@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "gram_novelty", "lang_kappa", "mutual_nn", "name_typo_pairs",
     "supplier_skyline", "linear_attribution", "resample_locf",
     "spearman_qty_discount", "kendall_tau_b", "title_text_overlap",
+    "kaplan_meier", "embedding_jl", "lognormal_fit",
 ]
 
 
