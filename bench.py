@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "supplier_skyline", "linear_attribution", "resample_locf",
     "spearman_qty_discount", "kendall_tau_b", "title_text_overlap",
     "kaplan_meier", "embedding_jl", "lognormal_fit",
+    "nb_lang_classify", "ring_rebalance",
 ]
 
 
