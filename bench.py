@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "spearman_qty_discount", "kendall_tau_b", "title_text_overlap",
     "kaplan_meier", "embedding_jl", "lognormal_fit",
     "nb_lang_classify", "ring_rebalance",
+    "ks_2samp", "mann_whitney", "quantile_normalize",
 ]
 
 
