@@ -550,4 +550,6 @@ def all_oracle_sql() -> dict[str, str]:
     out["pages_titles"] = pages_titles_sql("t2")
     from .q33_session2_additions_6 import title_text_overlap_sql
     out["title_text_overlap"] = title_text_overlap_sql("t2")
+    from .q44_session2_additions_17 import url_path_prefix_sql
+    out["url_path_prefix"] = url_path_prefix_sql("t2")
     return out
