@@ -98,16 +98,24 @@ def woe_iv(sf_dir: str):
     rows = []
     for _, r in s.iterrows():
         g, b = int(r["g"]), int(r["b"])
-        woe = np.log((np.float64(g) * np.float64(bt))
-                     / (np.float64(b) * np.float64(gt)))
-        dp = np.float64(g * bt - b * gt) / np.float64(gt * bt)
+        if g > 0 and b > 0 and gt > 0 and bt > 0:
+            woe = np.log((np.float64(g) * np.float64(bt))
+                         / (np.float64(b) * np.float64(gt)))
+            dp = np.float64(g * bt - b * gt) / np.float64(gt * bt)
+            iv = int(np.floor(dp * woe * 1000000.0 + 0.5))
+        else:
+            # a zero cell (all-good / all-bad segment) is undefined
+            # WoE; DuckDB's ln(inf-ratio) path yields NULL -> NaN and
+            # the windowed total sums only the defined contributions
+            woe, iv = np.nan, np.nan
         rows.append({"seg": r["seg"], "n_finished": np.int64(g),
-                     "n_unfinished": np.int64(b), "woe": woe,
-                     "iv_micro": np.int64(np.floor(
-                         dp * woe * 1000000.0 + 0.5))})
+                     "n_unfinished": np.int64(b),
+                     "woe": np.float64(woe), "iv_micro": iv})
     out = pd.DataFrame(rows).sort_values(
         "seg", kind="mergesort").reset_index(drop=True)
-    out["iv_total_micro"] = np.int64(int(out["iv_micro"].sum()))
+    tot = pd.Series([r["iv_micro"] for r in rows]).sum(skipna=True)
+    out["iv_total_micro"] = np.int64(int(tot)) if not pd.isna(tot) \
+        else np.nan
     return out
 
 
