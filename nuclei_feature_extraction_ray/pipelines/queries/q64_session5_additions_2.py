@@ -10,8 +10,8 @@ from .q10_feature_engineering_readability import _basket_edges
 
 _MAP_K = 10
 #: mcnemar_test: the two paired quality heuristics
-_MC_CHARS = 800
-_MC_TOKS = 150
+_MC_CHARS = 300
+_MC_TOKS = 55
 
 
 @register("map_eval", sql="""
@@ -130,7 +130,7 @@ def map_eval(sf_dir: str):
     FROM c""".format(ch=_MC_CHARS, tk=_MC_TOKS))
 def mcnemar_test(sf_dir: str):
     """MCNEMAR PAIRED TEST: do the char-length heuristic
-    (n_chars >= 800) and the token-count heuristic (tokens >= 150)
+    (n_chars >= 300) and the token-count heuristic (tokens >= 55)
     disagree symmetrically on the SAME documents? The 2x2 paired
     census (both / A-only / B-only / neither) is exact integer counts
     in one pass; the continuity-corrected statistic
