@@ -240,10 +240,34 @@ QUERY_REPEATS = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
 HEADLINE_REPEATS = int(os.environ.get("BENCH_HEADLINE_REPEATS", "2"))
 
 
+# Intentional exclusions from the dynamic complement below: the
+# pages_* flagship twins (the headline run IS their benchmark) and
+# the quadratic exact-Jaccard oracle tiers (their benched scale path
+# is minhash_pairs; each is documented at its BENCH_QUERIES comment).
+BENCH_EXCLUDE = {
+    "pages_features_core", "pages_features_full", "pages_sessions",
+    "pages_probes_core", "pages_latest", "pages_features",
+    "pages_probe_features",
+    "jaccard_pairs", "dedup_clusters", "containment_pairs",
+    "dup_cluster_hist", "dedup_survivor", "jaccard_prefix",
+}
+
+
+def bench_names() -> list:
+    """The static core list plus every later-registered query not
+    explicitly excluded — new operators join the bench table
+    automatically."""
+    from nuclei_feature_extraction_ray.pipelines.queries import (
+        all_queries)
+    known = set(BENCH_QUERIES) | BENCH_EXCLUDE
+    return BENCH_QUERIES + [n for n in all_queries()
+                            if n not in known]
+
+
 def run_queries() -> dict:
     from nuclei_feature_extraction_ray.pipelines.queries import QUERIES
     out = {}
-    for name in BENCH_QUERIES:
+    for name in bench_names():
         best = None
         for _ in range(QUERY_REPEATS):
             t0 = time.perf_counter()
