@@ -132,7 +132,10 @@ def hurst_rs(sf_dir: str):
                     * 1000000.0 + 0.5)))
         if not lis:
             continue
-        y = sum(lis) // len(lis)
+        tot = sum(lis)
+        # DuckDB // truncates toward zero; mirror that exactly
+        y = (tot // len(lis)) if tot >= 0 \
+            else -((-tot) // len(lis))
         lw = int(np.floor(np.log(np.float64(w)) * 1000000.0
                           + 0.5))
         k += 1

@@ -109,7 +109,9 @@ def dominant_period(sf_dir: str):
     for h in range(2, 61):
         num = sum(z[i] * z[i + h] for i in range(n - h))
         m = n - h
-        score = num * 1000000 // m
+        # DuckDB // truncates toward zero; mirror that exactly
+        score = (num * 1000000 // m) if num >= 0 \
+            else -((-num) * 1000000 // m)
         if best is None or score > best[0]:
             best = (score, h, num, m)
     _, h, num, m = best
